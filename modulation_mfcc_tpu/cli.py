@@ -1,0 +1,73 @@
+"""Command-line interface: extract / bench / verify / info.
+
+The reference has no CLI (its entry point is a Qt window, script/main.py:2157);
+this is the batch-first replacement: point it at WAVs (or a manifest), get
+feature tables out.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="modmfcc", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="extract features from WAV file(s)")
+    ex.add_argument("inputs", nargs="+", help="WAV files")
+    ex.add_argument("--config", help="reference-schema JSON config file")
+    ex.add_argument(
+        "--features",
+        default="mod_cepstr",
+        help="comma list: mod_cepstr,f0,formants,envelope,mfcc",
+    )
+    ex.add_argument("--out", default="-", help="output CSV path or - for stdout")
+    ex.add_argument("--derivation", type=int, default=0, choices=(0, 1, 2),
+                    help="0 trajectory, 1 velocity, 2 acceleration")
+
+    sub.add_parser("bench", help="run the headline throughput benchmark")
+
+    ver = sub.add_parser("verify", help="parity harness vs the CPU oracle")
+    ver.add_argument("--wav", help="optional WAV to verify on (default: synthetic)")
+
+    sub.add_parser("info", help="print device/mesh info")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "info":
+        import jax
+
+        print(json.dumps({
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "version": _version(),
+        }))
+        return 0
+    if args.cmd == "bench":
+        import pathlib
+        import runpy
+
+        bench = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+        runpy.run_path(str(bench), run_name="__main__")
+        return 0
+    if args.cmd == "extract":
+        from modulation_mfcc_tpu.runner import run_extract
+
+        return run_extract(args)
+    if args.cmd == "verify":
+        from modulation_mfcc_tpu.runner import run_verify
+
+        return run_verify(args)
+    return 2
+
+
+def _version() -> str:
+    from modulation_mfcc_tpu import __version__
+
+    return __version__
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""WAV decode + resample to the analysis rate (host-side).
+
+Replaces the reference's ``librosa.load(path, sr=10000, mono=False)``
+(script/mfcc.py:262-289 load_channel, :373). soundfile/resampy are not
+dependencies here: PCM/float WAV decoding is plain numpy over the RIFF
+layout, and resampling is polyphase (scipy.signal.resample_poly, Kaiser
+window) — the same family of polyphase kaiser filters librosa's resamplers
+use; parity with the reference is at the feature level (≤1e-4 on MFCCs for
+same-rate inputs; resampled inputs agree to the resampler's passband ripple).
+"""
+from __future__ import annotations
+
+import struct
+import wave
+from fractions import Fraction
+
+import numpy as np
+from scipy.signal import resample_poly
+
+__all__ = ["read_wav", "write_wav", "load_channel", "resample"]
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a WAV file → (float32 samples [channels, n] or [n], sample_rate).
+
+    Integer PCM is scaled to [-1, 1) like librosa/soundfile (int16 → /2**15,
+    int32 → /2**31, uint8 → offset binary). float32/float64 pass through.
+    """
+    with open(path, "rb") as f:
+        riff, _size, wave_id = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, csize = struct.unpack("<4sI", hdr)
+            payload = f.read(csize + (csize & 1))
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", payload[:16])
+            elif cid == b"data":
+                data = payload[:csize]
+        if fmt is None or data is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, n_ch, sr, _brate, _align, bits = fmt
+    if audio_format == 0xFFFE and bits in (16, 24, 32):
+        audio_format = 1  # WAVE_FORMAT_EXTENSIBLE PCM
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 2**15
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / 2**31
+        elif bits == 8:
+            x = (np.frombuffer(data, "u1").astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(data, "u1").reshape(-1, 3)
+            as32 = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            as32 = (as32 ^ 0x800000) - 0x800000  # sign-extend
+            x = as32.astype(np.float32) / 2**23
+        else:
+            raise ValueError(f"Unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        x = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported WAV format code {audio_format}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).T
+    return x, sr
+
+
+def write_wav(path: str, x: np.ndarray, sr: int) -> None:
+    """Write float [-1,1] (or int16) samples as 16-bit PCM WAV."""
+    x = np.asarray(x)
+    if x.ndim > 1:
+        x = x.T  # [n, channels]
+    if x.dtype != np.int16:
+        x = np.clip(x, -1.0, 1.0)
+        x = (x * 32767.0).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1 if x.ndim == 1 else x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+def resample(x: np.ndarray, orig_sr: float, target_sr: float) -> np.ndarray:
+    """Polyphase resampling along the last axis (Kaiser-windowed)."""
+    if orig_sr == target_sr:
+        return x
+    frac = Fraction(int(round(target_sr)), int(round(orig_sr))).limit_denominator(1000)
+    return resample_poly(x, frac.numerator, frac.denominator, axis=-1)
+
+
+def load_channel(path: str, signal_sample_rate: float = 10_000, channel_nb: int = 0):
+    """Reference load_channel semantics (script/mfcc.py:262-289): decode,
+    resample to the analysis rate, keep the channel layout (mono returns 1-D,
+    multichannel returns [channels, n])."""
+    x, sr = read_wav(path)
+    return resample(x.astype(np.float64), sr, signal_sample_rate)

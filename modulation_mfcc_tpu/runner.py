@@ -1,0 +1,76 @@
+"""CLI command implementations (extract / verify)."""
+from __future__ import annotations
+
+import csv
+import json
+import sys
+
+import numpy as np
+
+
+def _load_pipeline_config(path: str | None):
+    from modulation_mfcc_tpu.models.config import PipelineConfig, config_from_reference_json
+
+    if path is None:
+        return PipelineConfig()
+    with open(path) as f:
+        return config_from_reference_json(json.load(f))
+
+
+def run_extract(args) -> int:
+    """Extract the requested feature tracks from each WAV → long-format CSV
+    (file, feature, time, value) — the reference's CSV-export capability
+    (script/main.py:1409-1544) in batch form."""
+    from modulation_mfcc_tpu.io.wav import load_channel, read_wav
+    from modulation_mfcc_tpu.models import pipeline as pl
+
+    cfg = _load_pipeline_config(args.config)
+    feats = [f.strip() for f in args.features.split(",") if f.strip()]
+    rows: list[tuple] = []
+    for path in args.inputs:
+        for feat in feats:
+            try:
+                t, v = pl.extract_feature(path, feat, cfg, derivation=args.derivation)
+            except Exception as e:  # per-file isolation: a bad file skips
+                print(f"warning: {path}: {feat}: {e}", file=sys.stderr)
+                continue
+            for ti, vi in zip(np.asarray(t).ravel(), np.asarray(v).ravel()):
+                rows.append((path, feat, float(ti), float(vi)))
+    out = sys.stdout if args.out == "-" else open(args.out, "w", newline="")
+    try:
+        w = csv.writer(out)
+        w.writerow(["file", "feature", "time", "value"])
+        w.writerows(rows)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def run_verify(args) -> int:
+    """Parity harness: JAX pipeline vs the float64 numpy/scipy oracle."""
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.models.config import MfccConfig
+    from modulation_mfcc_tpu.models.modulation import extract_mfcc_change
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+    from tests.reference_impl import get_mfccs_change_np
+
+    if args.wav:
+        from modulation_mfcc_tpu.io.wav import load_channel
+
+        y = load_channel(args.wav, 10_000)
+        if y.ndim > 1:
+            y = y[0]
+    else:
+        rng = np.random.default_rng(0)
+        t = np.arange(20_000) / 10_000
+        y = np.sin(2 * np.pi * 120 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+        y = y + 0.01 * rng.standard_normal(len(t))
+    got, _ = extract_mfcc_change(y, MfccConfig())
+    want, _ = get_mfccs_change_np(np.asarray(y, dtype=np.float64), 10_000)
+    err = float(np.max(np.abs(np.asarray(got, dtype=np.float64) - want)))
+    ok = err <= 1e-4
+    print(json.dumps({"max_abs_err": err, "tolerance": 1e-4, "pass": ok}))
+    return 0 if ok else 1

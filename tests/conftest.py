@@ -1,0 +1,52 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip paths (shard_map over a Mesh) are testable without a TPU slice via
+XLA's host-platform device partitioning (SURVEY.md §4). Env vars must be set
+before jax initializes its backends, hence the top-of-conftest placement.
+"""
+import os
+
+# Force CPU for tests even though the session environment pins JAX_PLATFORMS
+# to the TPU backend — unit tests must be runnable anywhere, and the virtual
+# 8-device mesh only exists on the host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported by a sitecustomize hook with the session's
+# JAX_PLATFORMS (TPU) baked into its config — override the config value too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: CPU jit compiles dominate test wall-clock on
+# this single-core host; cache makes re-runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
+
+
+@pytest.fixture(scope="session")
+def speechlike(rng):
+    """A deterministic speech-like test signal: a few seconds at 10 kHz of
+    amplitude-modulated harmonics + noise, with silent lead-in/out."""
+    sr = 10_000
+    t = np.arange(int(2.0 * sr)) / sr
+    f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 2.5 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    sig = sum((0.6 / k) * np.sin(k * phase) for k in range(1, 6))
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4.0 * t - np.pi / 2))
+    sig = sig * env + 0.01 * rng.standard_normal(len(t))
+    sig[: sr // 10] = 0.0
+    sig[-sr // 10 :] = 0.0
+    return sig.astype(np.float64), sr

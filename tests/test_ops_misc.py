@@ -1,0 +1,131 @@
+"""Parity tests: hilbert, NaN interpolation, peak finding, RMS envelope."""
+import numpy as np
+import pytest
+import scipy.signal as sps
+from scipy.interpolate import PchipInterpolator, interp1d
+
+import jax.numpy as jnp
+
+from modulation_mfcc_tpu.models.config import AmplitudeConfig
+from modulation_mfcc_tpu.models.envelope import extract_envelope, rms_envelope
+from modulation_mfcc_tpu.ops.hilbert import hilbert_envelope
+from modulation_mfcc_tpu.ops.interp import interp_nan
+from modulation_mfcc_tpu.ops.peaks import peak_mask, peaks_in_interval
+
+
+@pytest.mark.parametrize("n", [256, 257])
+def test_hilbert_matches_scipy(rng, n):
+    x = rng.standard_normal(n)
+    got = np.asarray(hilbert_envelope(jnp.asarray(x)))
+    want = np.abs(sps.hilbert(x))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def _nan_signal(rng, n=200):
+    x = np.sin(np.linspace(0, 6, n)) + 0.1 * rng.standard_normal(n)
+    x[30:40] = np.nan
+    x[90:91] = np.nan
+    x[150:170] = np.nan
+    return x
+
+
+def test_interp_nan_linear_interior_and_edges(rng):
+    x = _nan_signal(rng)
+    x[:5] = np.nan
+    x[-7:] = np.nan
+    got = np.asarray(interp_nan(jnp.asarray(x), "linear"))
+    valid = ~np.isnan(x)
+    f = interp1d(np.where(valid)[0], x[valid], "linear", fill_value="extrapolate")
+    want = x.copy()
+    want[~valid] = f(np.where(~valid)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_interp_nan_pchip_interior(rng):
+    x = _nan_signal(rng)
+    got = np.asarray(interp_nan(jnp.asarray(x), "pchip"))
+    valid = ~np.isnan(x)
+    f = PchipInterpolator(np.where(valid)[0], x[valid], extrapolate=False)
+    want = x.copy()
+    want[~valid] = f(np.where(~valid)[0])
+    # interior plateaus only; scipy's 3-point edge rule differs slightly at
+    # the first/last valid points, so compare away from grid edges
+    np.testing.assert_allclose(got[5:-5], want[5:-5], rtol=1e-6, atol=1e-6)
+
+
+def test_interp_nan_no_nans_passthrough(rng):
+    x = rng.standard_normal(50)
+    np.testing.assert_array_equal(np.asarray(interp_nan(jnp.asarray(x))), x)
+
+
+def test_peak_mask_matches_scipy(rng):
+    for trial in range(5):
+        y = rng.standard_normal(300)
+        got = np.flatnonzero(np.asarray(peak_mask(jnp.asarray(y))))
+        want, _ = sps.find_peaks(y)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_peak_mask_plateaus():
+    y = np.array([0.0, 1, 1, 1, 0, 2, 2, 0, 3, 0, 0, 1, 1])
+    got = np.flatnonzero(np.asarray(peak_mask(jnp.asarray(y))))
+    want, _ = sps.find_peaks(y)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_peaks_in_interval_reference_semantics():
+    t = np.linspace(0, 1, 101)
+    y = np.sin(2 * np.pi * 5 * t)
+    pt, pv = peaks_in_interval(t, y, (0.2, 0.8))
+    want, _ = sps.find_peaks(y[(t >= 0.2) & (t <= 0.8)])
+    assert len(pt) == len(want)
+    assert np.all(pv > 0.9)
+    pt2, pv2 = peaks_in_interval(t, y, None)
+    assert len(pt2) == 0 and len(pv2) == 0
+
+
+def test_rms_envelope_framing(rng):
+    # librosa.feature.rms semantics: centered constant-pad framing,
+    # sqrt(mean(x^2)). Construct the expected value directly.
+    sr = 1000
+    y = rng.standard_normal(2000)
+    win, hop = 100, 10
+    pad = win // 2
+    ypad = np.pad(y, pad)
+    nf = 1 + (len(ypad) - win) // hop
+    want = np.array([
+        np.sqrt(np.mean(ypad[i * hop : i * hop + win] ** 2)) for i in range(nf)
+    ])
+    got = np.asarray(rms_envelope(jnp.asarray(y), win, hop))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_extract_envelope_rms_with_filter(rng):
+    sr = 10_000
+    y = rng.standard_normal(sr)
+    cfg = AmplitudeConfig(method="RMS", outFilter="iir", outFiltCutOff=(12.0,))
+    amp, t = extract_envelope(y, sr, cfg)
+    assert amp.shape == t.shape
+    assert np.all(np.isfinite(np.asarray(amp)))
+    # parity: out-filter stage == scipy sosfiltfilt of the raw RMS envelope
+    # (envelope rate = 1/hopLen = 100 Hz, reference script/mfcc.py:255-257)
+    cfg0 = AmplitudeConfig(method="RMS")
+    amp0, _ = extract_envelope(y, sr, cfg0)
+    import scipy.signal as sps
+
+    sos = sps.butter(6, 12.0 / (100.0 / 2.0), btype="lowpass", output="sos")
+    want = sps.sosfiltfilt(sos, np.asarray(amp0, dtype=np.float64))
+    np.testing.assert_allclose(np.asarray(amp), want, atol=1e-4)
+
+
+def test_extract_envelope_hilb(rng):
+    sr = 10_000
+    y = np.sin(2 * np.pi * 100 * np.arange(sr) / sr)
+    cfg = AmplitudeConfig(method="Hilb")
+    amp, t = extract_envelope(y, sr, cfg)
+    assert amp.shape[-1] == sr
+    # Hilbert envelope of a pure tone ≈ 1
+    np.testing.assert_allclose(np.asarray(amp)[100:-100], 1.0, atol=1e-2)
+    # reference time-axis quirk: arange(n) * hopLen
+    np.testing.assert_allclose(t, np.arange(sr) * cfg.hopLen)
