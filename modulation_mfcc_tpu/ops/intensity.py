@@ -1,0 +1,56 @@
+"""Praat-style intensity (dB SPL) — pitch-floor-sized Kaiser window.
+
+Replaces the reference's ``call(sound, "To Intensity", minPitch, timeStep, 1)``
+(script/mfcc.py:229-233, script/calc.py:156 via sound.to_intensity()):
+windowed mean square of the mean-subtracted signal, expressed in dB re
+2·10⁻⁵ Pa (auditory threshold), with an effective window of 3.2 periods of
+the minimum pitch and a very-low-sidelobe Kaiser (β=20) taper so F0 ripple
+stays below the dB floor.
+
+TPU formulation: one framed weighted-square reduction — frames [NF, nw] ×
+window² → matvec — entirely fused by XLA.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["intensity_db", "intensity_times"]
+
+_HEARING_THRESHOLD_SQ = 4.0e-10  # (2e-5 Pa)^2
+
+
+def _geometry(n: int, sr: float, min_pitch: float, time_step: float):
+    win_dur = 3.2 / min_pitch
+    nw = int(round(win_dur * sr))
+    nw = min(max(nw, 2), n)
+    hop = max(1, int(round(time_step * sr)))
+    nf = max(1, 1 + (n - nw) // hop)
+    return nw, hop, nf
+
+
+@partial(jax.jit, static_argnames=("sr", "min_pitch", "time_step"))
+def intensity_db(
+    x: jnp.ndarray, *, sr: float, min_pitch: float = 100.0, time_step: float = 0.01
+) -> jnp.ndarray:
+    """Intensity contour [NF] in dB for 1-D x (interpreted as Pascal)."""
+    n = x.shape[-1]
+    nw, hop, nf = _geometry(n, sr, min_pitch, time_step)
+    w2 = np.kaiser(nw, 20.0) ** 2
+    w2 = w2 / w2.sum()
+    starts = np.arange(nf) * hop
+    idx = jnp.asarray(starts[:, None] + np.arange(nw)[None, :])
+    frames = x[..., idx]
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    ms = frames**2 @ jnp.asarray(w2, dtype=x.dtype)
+    return 10.0 * jnp.log10(jnp.maximum(ms / _HEARING_THRESHOLD_SQ, 1e-30))
+
+
+def intensity_times(n: int, sr: float, min_pitch: float, time_step: float) -> np.ndarray:
+    """Frame-center times of :func:`intensity_db` (host-side)."""
+    nw, hop, nf = _geometry(n, sr, min_pitch, time_step)
+    return (np.arange(nf) * hop + nw / 2.0) / sr

@@ -1,0 +1,215 @@
+"""pYIN fundamental-frequency estimation (probabilistic YIN), batched JAX.
+
+Replaces the reference's ``librosa.pyin`` path (script/calc.py:562-581) with
+the same published algorithm (Mauch & Dixon 2014, librosa's formulation):
+
+  1. YIN difference function per frame via cumulative sums + rFFT
+     autocorrelation; cumulative-mean-normalized difference (CMNDF).
+  2. Trough candidates = local minima of the CMNDF, refined by parabolic
+     interpolation; per-threshold trough selection with a Beta(2,18) prior
+     over thresholds and a Boltzmann prior over trough rank;
+     ``no_trough_prob`` mass to the global minimum when no trough clears a
+     threshold.
+  3. Candidate probabilities scattered onto a log-spaced pitch-bin grid
+     (``resolution`` semitones/bin) with voiced+unvoiced state duplication.
+  4. Viterbi decoding with a triangular local transition (width from
+     ``max_transition_rate``) and voiced↔unvoiced ``switch_prob``.
+
+Everything is static-shape: troughs are handled as masks over the full lag
+axis (no dynamic candidate lists), the Viterbi is a [S,S] max-plus matmul
+scanned over frames.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import scipy.stats
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pyin_f0", "yin_cmndf"]
+
+
+def yin_cmndf(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
+    """Cumulative-mean-normalized difference function d'(τ), τ∈[0, max_lag].
+
+    frames: [..., N]. d(τ) = Σ_{j<W} (x_j − x_{j+τ})², W = N − max_lag.
+    """
+    n = frames.shape[-1]
+    w = n - max_lag
+    # energy terms via cumulative sums: e_tau[τ] = Σ_{j=τ}^{τ+W-1} x_j²
+    csum = jnp.cumsum(frames**2, axis=-1)
+    total = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    tau = np.arange(max_lag + 1)
+    idx = jnp.asarray(tau)
+    e0 = (total[..., w] - total[..., 0])[..., None]
+    e_tau = jnp.take(total, idx + w, axis=-1) - jnp.take(total, idx, axis=-1)
+    # cross terms Σ_j x_j·x_{j+τ} via rFFT cross-correlation of the first W
+    # samples against the whole frame
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
+    specw = jnp.fft.rfft(frames[..., :w], n=nfft, axis=-1)
+    cross = jnp.fft.irfft(jnp.conj(specw) * spec, n=nfft, axis=-1)[..., : max_lag + 1]
+    d = e0 + e_tau - 2.0 * cross
+    # CMNDF
+    dsum = jnp.cumsum(d[..., 1:], axis=-1)
+    tau_f = jnp.asarray(tau[1:], dtype=d.dtype)
+    cmndf = d[..., 1:] * tau_f / jnp.maximum(dsum, 1e-30)
+    return jnp.concatenate([jnp.ones_like(d[..., :1]), cmndf], axis=-1)
+
+
+@lru_cache(maxsize=32)
+def _beta_threshold_probs(n_thresholds: int, a: float, b: float) -> np.ndarray:
+    thresholds = np.linspace(0, 1, n_thresholds + 1)
+    cdf = scipy.stats.beta.cdf(thresholds, a, b)
+    return np.diff(cdf)
+
+
+def _boltzmann_pmf(k, lam, n):
+    """Truncated discrete exponential (Boltzmann) pmf, matching
+    scipy.stats.boltzmann.pmf(k, lam, N)."""
+    return (1 - jnp.exp(-lam)) * jnp.exp(-lam * k) / (1 - jnp.exp(-lam * n) + 1e-30)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sr",
+        "fmin",
+        "fmax",
+        "frame_length",
+        "win_length",
+        "hop",
+        "n_thresholds",
+        "beta_parameters",
+        "boltzmann_parameter",
+        "resolution",
+        "max_transition_rate",
+        "switch_prob",
+        "no_trough_prob",
+    ),
+)
+def pyin_f0(
+    x: jnp.ndarray,
+    *,
+    sr: float,
+    fmin: float = 75.0,
+    fmax: float = 600.0,
+    frame_length: int = 2048,
+    win_length: int | None = None,
+    hop: float = 0.01,
+    n_thresholds: int = 100,
+    beta_parameters: tuple = (2, 18),
+    boltzmann_parameter: int = 2,
+    resolution: float = 0.1,
+    max_transition_rate: float = 35.92,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+) -> jnp.ndarray:
+    """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN)."""
+    if win_length is None:
+        win_length = frame_length // 2
+    hop_length = max(1, int(round(hop * sr)))
+    n = x.shape[-1]
+    pad = frame_length // 2
+    xp = jnp.pad(x, (pad, pad))
+    nf = 1 + n // hop_length
+    starts = np.arange(nf) * hop_length
+    idx = jnp.asarray(starts[:, None] + np.arange(frame_length)[None, :])
+    frames = xp[idx]
+
+    max_lag = win_length
+    cm = yin_cmndf(frames, max_lag)  # [NF, max_lag+1]
+
+    lag = np.arange(max_lag + 1)
+    min_lag = max(2, int(np.floor(sr / fmax)))
+    max_lag_f0 = min(max_lag - 1, int(np.ceil(sr / fmin)))
+    in_range = jnp.asarray((lag >= min_lag) & (lag <= max_lag_f0))
+
+    # troughs: local minima of the CMNDF within the lag range
+    left = jnp.pad(cm, ((0, 0), (1, 0)), constant_values=jnp.inf)[..., :-1]
+    right = jnp.pad(cm, ((0, 0), (0, 1)), constant_values=jnp.inf)[..., 1:]
+    is_trough = (cm < left) & (cm <= right) & in_range[None, :]
+
+    # parabolic refinement of trough lag/value
+    denom = left - 2 * cm + right
+    shift = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0)
+    shift = jnp.clip(shift, -0.5, 0.5)
+    lag_ref = jnp.asarray(lag, dtype=cm.dtype) + shift
+    val_ref = cm - 0.25 * (left - right) * shift
+
+    beta_probs = jnp.asarray(
+        _beta_threshold_probs(n_thresholds, float(beta_parameters[0]), float(beta_parameters[1])),
+        dtype=cm.dtype,
+    )
+    thresholds = jnp.asarray(np.linspace(0, 1, n_thresholds + 1)[1:], dtype=cm.dtype)
+
+    big_val = jnp.where(is_trough, val_ref, jnp.inf)
+    # below[i, f, τ]: trough τ of frame f under threshold i
+    below = (big_val[None, :, :] < thresholds[:, None, None]) & is_trough[None, :, :]
+    position = jnp.cumsum(below, axis=-1) - 1  # rank among troughs below, τ-order
+    n_below = jnp.sum(below, axis=-1, keepdims=True)
+    prior = _boltzmann_pmf(position.astype(cm.dtype), float(boltzmann_parameter), n_below.astype(cm.dtype))
+    contrib = jnp.where(below, prior, 0.0) * beta_probs[:, None, None]
+    probs = jnp.sum(contrib, axis=0)  # [NF, L]
+
+    # thresholds with no trough → no_trough_prob mass at the global min
+    any_below = (n_below[..., 0] > 0)  # [n_thr, NF]
+    miss_mass = jnp.sum(jnp.where(any_below, 0.0, beta_probs[:, None]), axis=0)  # [NF]
+    gmin = jnp.argmin(big_val, axis=-1)
+    probs = probs + no_trough_prob * miss_mass[:, None] * jax.nn.one_hot(gmin, probs.shape[-1], dtype=cm.dtype)
+
+    freqs = sr / jnp.maximum(lag_ref, 1e-6)
+
+    # pitch-bin grid
+    n_bins = int(np.floor(12.0 * np.log2(fmax / fmin) / resolution)) + 1
+    bin_idx = jnp.clip(
+        jnp.round(12.0 * jnp.log2(jnp.maximum(freqs, 1e-6) / fmin) / resolution).astype(jnp.int32),
+        0,
+        n_bins - 1,
+    )
+    obs_v = jax.vmap(lambda p, b: jnp.zeros((n_bins,), dtype=cm.dtype).at[b].add(p))(
+        probs, jnp.broadcast_to(bin_idx, probs.shape)
+    )
+    voiced_prob = jnp.clip(jnp.sum(obs_v, axis=-1), 0.0, 1.0)
+    obs_u = jnp.broadcast_to(((1.0 - voiced_prob) / n_bins)[:, None], obs_v.shape)
+    obs = jnp.concatenate([obs_v, obs_u], axis=-1)  # [NF, 2*n_bins]
+
+    # transition matrix: triangular local moves, voiced/unvoiced switch
+    width = max(1, int(round(max_transition_rate * 12.0 * hop_length / sr / resolution)))
+    tri = np.zeros((n_bins, n_bins))
+    for off in range(-width, width + 1):
+        wgt = width + 1 - abs(off)
+        di = np.arange(max(0, -off), min(n_bins, n_bins - off))
+        tri[di, di + off] = wgt
+    tri = tri / tri.sum(axis=1, keepdims=True)
+    t_full = np.block(
+        [
+            [(1 - switch_prob) * tri, switch_prob * tri],
+            [switch_prob * tri, (1 - switch_prob) * tri],
+        ]
+    )
+    log_t = jnp.asarray(np.log(np.maximum(t_full, 1e-30)), dtype=cm.dtype)
+    log_obs = jnp.log(jnp.maximum(obs, 1e-30))
+
+    def vstep(delta, lo):
+        scores = delta[:, None] + log_t
+        best = jnp.argmax(scores, axis=0)
+        return jnp.max(scores, axis=0) + lo, best
+
+    delta0 = log_obs[0] + jnp.log(1.0 / (2 * n_bins))
+    delta_f, bps = jax.lax.scan(vstep, delta0, log_obs[1:])
+    last = jnp.argmax(delta_f if nf > 1 else delta0)
+
+    def back(nxt, bp):
+        cur = bp[nxt]
+        return cur, cur
+
+    _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+    voiced = path < n_bins
+    bin_of = jnp.where(voiced, path, path - n_bins)
+    f0 = fmin * 2.0 ** (bin_of.astype(cm.dtype) * resolution / 12.0)
+    return jnp.where(voiced, f0, 0.0)

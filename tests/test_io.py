@@ -1,0 +1,165 @@
+"""I/O round-trips: WAV, AG50x EMA, TextGrid, CSV export."""
+import csv
+
+import numpy as np
+import pytest
+
+from modulation_mfcc_tpu.io.ag50x import DIMS, linear_resample, read_ag50x, write_ag50x
+from modulation_mfcc_tpu.io.csvexport import CurveColumn, export_curves_csv, interval_aggregations
+from modulation_mfcc_tpu.io.textgrid import (
+    Interval,
+    IntervalTier,
+    Point,
+    PointTier,
+    TextGrid,
+    read_textgrid,
+    write_textgrid,
+)
+from modulation_mfcc_tpu.io.wav import read_wav, resample, write_wav
+
+
+def test_wav_roundtrip_int16(tmp_path, rng):
+    sr = 16_000
+    y = np.clip(rng.standard_normal(sr) * 0.3, -1, 1)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, y, sr)
+    x, sr2 = read_wav(p)
+    assert sr2 == sr
+    np.testing.assert_allclose(x, y, atol=2.0 / 32768)  # 1 LSB quant + scale
+
+
+def test_wav_multichannel(tmp_path, rng):
+    sr = 8000
+    y = np.stack([np.sin(np.linspace(0, 50, sr)), np.cos(np.linspace(0, 50, sr))])
+    p = str(tmp_path / "st.wav")
+    write_wav(p, y, sr)
+    x, _ = read_wav(p)
+    assert x.shape == y.shape
+    np.testing.assert_allclose(x, y, atol=1e-3)
+
+
+def test_resample_preserves_tone(rng):
+    sr, target = 44_100, 10_000
+    t = np.arange(sr) / sr
+    y = np.sin(2 * np.pi * 440 * t)
+    z = resample(y, sr, target)
+    assert abs(len(z) - target) <= 2
+    # dominant frequency preserved
+    spec = np.abs(np.fft.rfft(z * np.hanning(len(z))))
+    peak = np.argmax(spec) * target / len(z)
+    assert abs(peak - 440) < 2
+
+
+def test_linear_resample_matches_interp(rng):
+    import jax.numpy as jnp
+
+    src_t = np.linspace(0, 1, 100)
+    vals = rng.standard_normal((100, 4, 7))
+    dst_t = np.arange(0, 1.2, 0.013)  # includes extrapolation region
+    got = np.asarray(linear_resample(jnp.asarray(vals), jnp.asarray(src_t), jnp.asarray(dst_t)))
+    from scipy.interpolate import interp1d
+
+    for i in range(4):
+        for j in range(7):
+            f = interp1d(src_t, vals[:, i, j], kind="linear", fill_value="extrapolate")
+            np.testing.assert_allclose(got[:, i, j], f(dst_t), atol=1e-9)
+
+
+def test_ag50x_roundtrip(tmp_path, rng):
+    t, ch = 500, 8
+    pos = rng.standard_normal((t, ch, 7)).astype(np.float32)
+    p = str(tmp_path / "rec.pos")
+    write_ag50x(p, pos, sample_rate=250)
+    ema = read_ag50x(p, target_sample_rate=200)
+    assert ema.original_samplerate == 250
+    assert ema.resampled_samplerate == 200
+    assert ema.ema.shape[1:] == (ch, 7)
+    assert ema.dimensions == DIMS
+    # resampled values stay within the original range per channel
+    tt, z = ema.channel(3, "z")
+    assert tt.shape == z.shape
+    assert z.min() >= pos[:, 3, 1].min() - 1e-3
+    assert z.max() <= pos[:, 3, 1].max() + 1e-3
+
+
+def _sample_tg():
+    tg = TextGrid(xmin=0, xmax=2)
+    it = IntervalTier(name="words", xmin=0, xmax=2)
+    it.add(0.0, 0.5, "hello")
+    it.add(0.5, 1.2, "world")
+    it.add(1.2, 2.0, "")
+    pt = PointTier(name="peaks", xmin=0, xmax=2)
+    pt.add(0.25, "p1")
+    pt.add(0.75, "p2")
+    tg.tiers = [it, pt]
+    return tg
+
+
+def test_textgrid_roundtrip(tmp_path):
+    tg = _sample_tg()
+    p = str(tmp_path / "a.TextGrid")
+    write_textgrid(tg, p)
+    tg2 = read_textgrid(p)
+    assert tg2.tier_names() == ["words", "peaks"]
+    it = tg2.get_tier("words")
+    assert [iv.text for iv in it.intervals] == ["hello", "world", ""]
+    assert it.label_at(0.7) == "world"
+    pt = tg2.get_tier("peaks")
+    assert [p_.time for p_ in pt.points] == [0.25, 0.75]
+
+
+def test_textgrid_short_format(tmp_path):
+    short = (
+        'File type = "ooTextFile"\n'
+        'Object class = "TextGrid"\n\n'
+        "0\n2\n<exists>\n1\n"
+        '"IntervalTier"\n"words"\n0\n2\n2\n'
+        '0\n1\n"ab"\n1\n2\n"cd"\n'
+    )
+    p = tmp_path / "s.TextGrid"
+    p.write_text(short)
+    tg = read_textgrid(str(p))
+    it = tg.get_tier("words")
+    assert [iv.text for iv in it.intervals] == ["ab", "cd"]
+
+
+def test_interval_overlap_validation():
+    it = IntervalTier(name="x")
+    it.add(0.0, 1.0, "a")
+    with pytest.raises(ValueError, match="overlaps"):
+        it.add(0.5, 1.5, "b")
+    it.add(1.0, 2.0, "c")  # touching is fine
+
+
+def test_labels_at_vectorized():
+    tg = _sample_tg()
+    it = tg.get_tier("words")
+    labels = it.labels_at(np.array([0.1, 0.5, 0.9, 1.5, 3.0]))
+    assert labels == ["hello", "hello", "world", "", ""]
+
+
+def test_csv_export_full(tmp_path):
+    tg = _sample_tg()
+    t = np.linspace(0, 2, 21)
+    c = CurveColumn(
+        name="mod",
+        times=t,
+        values=np.sin(t),
+        max_times=np.array([0.5]),
+        max_values=np.array([0.9]),
+        include_max=True,
+    )
+    p = str(tmp_path / "out.csv")
+    export_curves_csv(
+        p, [c], textgrid=tg, tier_names=["words"], region=(0.0, 1.0), aggregate_tier="words"
+    )
+    with open(p) as f:
+        rows = list(csv.reader(f))
+    hdr = rows[0]
+    assert "mod_x" in hdr and "mod_words" in hdr and "mod_max_x" in hdr
+    assert "region_duration" in hdr and "mod_interval_mean" in hdr
+    words_col = hdr.index("mod_words")
+    assert rows[1][words_col] == "hello"
+    aggs = interval_aggregations([c], tg.get_tier("words"))
+    assert [a[0] for a in aggs] == ["hello", "world"]
+    assert abs(aggs[0][3] - 0.5) < 1e-9

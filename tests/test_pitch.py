@@ -1,0 +1,106 @@
+"""F0 tracker validation on synthetic signals with known ground truth.
+
+(Praat/parselmouth is not available in this environment, so parity with
+``To Pitch (ac)`` is validated behaviorally — SURVEY.md §7 defines
+tolerance-based parity for the Praat-derived kernels.)"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from modulation_mfcc_tpu.models.config import F0Config
+from modulation_mfcc_tpu.models.pitch import extract_f0
+from modulation_mfcc_tpu.ops.intensity import intensity_db
+from modulation_mfcc_tpu.ops.pitch import pitch_ac
+
+SR = 10_000
+
+
+def harmonic(f0_hz, dur=1.0, n_harm=5, sr=SR):
+    t = np.arange(int(dur * sr)) / sr
+    if np.isscalar(f0_hz):
+        phase = 2 * np.pi * f0_hz * t
+    else:
+        phase = 2 * np.pi * np.cumsum(f0_hz) / sr
+    return sum((0.7 / k) * np.sin(k * phase) for k in range(1, n_harm + 1))
+
+
+def test_pitch_constant_tone():
+    y = harmonic(150.0)
+    f0 = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR))
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.9 * len(f0)
+    assert abs(np.median(voiced) - 150.0) < 2.0
+
+
+def test_pitch_glide_tracks():
+    t = np.arange(SR) / SR
+    f_traj = 120.0 + 80.0 * t  # 120→200 Hz glide
+    y = harmonic(f_traj)
+    f0 = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR))
+    # compare to the instantaneous target at frame centers (window 3/75 s)
+    nw = int(round(3 / 75 * SR))
+    centers = (np.arange(len(f0)) * int(0.01 * SR) + nw / 2) / SR
+    target = 120.0 + 80.0 * centers
+    voiced = f0 > 0
+    assert voiced.mean() > 0.85
+    err = np.abs(f0[voiced] - target[voiced])
+    assert np.median(err) < 4.0
+
+
+def test_pitch_unvoiced_silence_and_noise(rng):
+    y = np.concatenate([
+        np.zeros(SR // 2),
+        harmonic(180.0, dur=0.5),
+        0.005 * rng.standard_normal(SR // 2),
+    ])
+    f0 = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR))
+    n = len(f0)
+    first, mid, last = f0[: n // 3], f0[n // 3 : 2 * n // 3], f0[-n // 3 :]
+    assert (first == 0).mean() > 0.8  # silence → unvoiced
+    assert (mid > 0).mean() > 0.8  # tone → voiced
+    assert abs(np.median(mid[mid > 0]) - 180.0) < 3.0
+
+
+def test_pitch_no_octave_halving():
+    # strong 2nd harmonic tempts octave errors; costs must prevent them
+    t = np.arange(SR) / SR
+    y = 0.3 * np.sin(2 * np.pi * 140 * t) + 0.9 * np.sin(2 * np.pi * 280 * t)
+    f0 = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR))
+    voiced = f0[f0 > 0]
+    # accepts either fundamental reading but must be stable (no jumping)
+    assert np.std(voiced) < 5.0
+
+
+def test_extract_f0_full_chain():
+    y = np.concatenate([np.zeros(2000), harmonic(160.0, dur=0.8), np.zeros(2000)])
+    cfg = F0Config(outFiltCutOff=(12.0,))
+    f0, t = extract_f0(y, SR, cfg)
+    assert f0.shape == t.shape
+    assert np.all(np.isfinite(f0))  # NaNs interpolated before filtering
+    mid = f0[len(f0) // 2 - 10 : len(f0) // 2 + 10]
+    assert abs(np.median(mid) - 160.0) < 5.0
+
+
+def test_extract_f0_validation_parity():
+    with pytest.raises(ValueError, match="unvoiced regions are not interpolated"):
+        extract_f0(np.zeros(5000), SR, F0Config(interpUnvoiced=None, outFilter="iir"))
+
+
+def test_extract_f0_quantile_two_pass():
+    y = harmonic(200.0)
+    cfg = F0Config(minMaxQuant=(0.05, 0.95), outFilter=None, interpUnvoiced="linear")
+    f0, _ = extract_f0(y, SR, cfg)
+    v = f0[np.isfinite(f0)]
+    assert abs(np.median(v) - 200.0) < 3.0
+
+
+def test_intensity_db_scale():
+    # full-scale 1 kHz sine: mean square 0.5 → 10*log10(0.5/4e-10) ≈ 90.97 dB
+    t = np.arange(SR) / SR
+    y = np.sin(2 * np.pi * 1000 * t)
+    db = np.asarray(intensity_db(jnp.asarray(y, dtype=jnp.float32), sr=SR, min_pitch=100.0))
+    assert abs(np.median(db) - 90.97) < 0.2
+    # scaling by 10x = +20 dB
+    db2 = np.asarray(intensity_db(jnp.asarray(0.1 * y, dtype=jnp.float32), sr=SR, min_pitch=100.0))
+    assert abs(np.median(db) - np.median(db2) - 20.0) < 0.1
