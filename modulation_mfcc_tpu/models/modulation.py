@@ -44,9 +44,41 @@ def mfcc_trajectories(
     *,
     frame_mask: jnp.ndarray | None = None,
     use_fft: bool = True,
+    spectrum: str | None = None,
 ) -> jnp.ndarray:
     """MFCC matrix [..., n_frames, n_mfcc] with librosa semantics
-    (reference: script/mfcc.py:387)."""
+    (reference: script/mfcc.py:387).
+
+    ``spectrum`` selects the front-end implementation:
+      * 'fft'         — framing gather + jnp.fft.rfft (oracle path)
+      * 'matmul'      — framing gather + windowed-DFT matmuls (MXU)
+      * 'pallas'      — fused Pallas kernel, f32 (parity ≈1e-5, fastest exact)
+      * 'pallas_bf16' — fused Pallas kernel, bf16 multiplies (corpus
+                        throughput mode; ~0.5 absolute MFCC-dB error)
+    Default 'fft'; the legacy ``use_fft=False`` maps to 'matmul'.
+    """
+    if spectrum is None:
+        spectrum = "fft" if use_fft else "matmul"
+    if spectrum not in ("fft", "matmul", "pallas", "pallas_bf16"):
+        raise ValueError(
+            f"Unknown spectrum {spectrum!r}; one of fft, matmul, pallas, pallas_bf16"
+        )
+    if spectrum.startswith("pallas"):
+        from modulation_mfcc_tpu.pallas.fused_frontend import fused_mfcc
+
+        return fused_mfcc(
+            y,
+            sr=cfg.signal_sample_rate,
+            n_fft=cfg.n_fft,
+            hop=cfg.hop_length,
+            win_length=cfg.win_length,
+            n_mfcc=cfg.n_mfcc,
+            n_mels=cfg.n_mels,
+            fmin=cfg.minFreq,
+            fmax=cfg.maxFreq,
+            compute_dtype=jnp.bfloat16 if spectrum.endswith("bf16") else jnp.float32,
+            frame_mask=frame_mask,
+        )
     frames = frame_signal(y, cfg.n_fft, cfg.hop_length)
     mask = None
     if frame_mask is not None:
@@ -60,7 +92,7 @@ def mfcc_trajectories(
         fmin=cfg.minFreq,
         fmax=cfg.maxFreq,
         win_length=cfg.win_length,
-        use_fft=use_fft,
+        use_fft=(spectrum == "fft"),
         mask=mask,
     )
 
@@ -72,6 +104,7 @@ def mfcc_change(
     frame_mask: jnp.ndarray | None = None,
     frame_lengths: jnp.ndarray | None = None,
     use_fft: bool = True,
+    spectrum: str | None = None,
 ) -> jnp.ndarray:
     """Total MFCC change over time, [..., n_frames].
 
@@ -88,7 +121,9 @@ def mfcc_change(
         frame_mask = (
             jnp.arange(nf_pad)[None, :] < frame_lengths[:, None]
         ).astype(y.dtype)
-    m = mfcc_trajectories(y, cfg, frame_mask=frame_mask, use_fft=use_fft)
+    m = mfcc_trajectories(
+        y, cfg, frame_mask=frame_mask, use_fft=use_fft, spectrum=spectrum
+    )
     if cfg.removeFirst:
         m = m[..., 1:]
     n_coef = m.shape[-1]
@@ -169,19 +204,21 @@ def change_times(n_samples: int, cfg: MfccConfig) -> np.ndarray:
     return frame_times_mfcc(nf, cfg.tStep, cfg.winLen)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_fft"))
-def _mfcc_change_jit(y, cfg, use_fft):
-    return mfcc_change(y, cfg, use_fft=use_fft)
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum"))
+def _mfcc_change_jit(y, cfg, use_fft, spectrum):
+    return mfcc_change(y, cfg, use_fft=use_fft, spectrum=spectrum)
 
 
-def extract_mfcc_change(y, cfg: MfccConfig = MfccConfig(), *, use_fft: bool = True):
+def extract_mfcc_change(
+    y, cfg: MfccConfig = MfccConfig(), *, use_fft: bool = True, spectrum: str | None = None
+):
     """User-facing: (tot_change, times) for one utterance or a batch.
 
     Drop-in functional replacement for the reference's Mfcc DataSource
     (script/main.py:726-770): same defaults, same outputs, jitted on TPU.
     """
     y = jnp.asarray(y, dtype=jnp.float32)
-    tot = _mfcc_change_jit(y, cfg, use_fft)
+    tot = _mfcc_change_jit(y, cfg, use_fft, spectrum)
     t = change_times(y.shape[-1], cfg)
     return tot, t
 

@@ -67,15 +67,29 @@ def frame_validity_mask(lengths: jnp.ndarray, t_pad: int, cfg: MfccConfig) -> jn
     return (fidx < nf_real[:, None]).astype(jnp.float32)
 
 
-def batched_mfcc_change(batch: AudioBatch, cfg: MfccConfig, *, use_fft: bool = True):
+def batched_mfcc_change(
+    batch: AudioBatch,
+    cfg: MfccConfig,
+    *,
+    use_fft: bool = True,
+    spectrum: str | None = None,
+    uniform_lengths: bool = False,
+):
     """Masked batched modulation-cepstrum: returns (tot_change [B, NF],
     frame_mask [B, NF]). Exact per-file parity on valid frames (the filter
-    edges use the length-masked variants, ops/masked.py)."""
+    edges use the length-masked variants, ops/masked.py).
+
+    ``uniform_lengths=True`` (static) asserts every utterance fills the
+    bucket, skipping the masked edge machinery — the fast path for
+    fully-packed corpus buckets."""
+    mask = frame_validity_mask(batch.lengths, batch.samples.shape[-1], cfg)
+    if uniform_lengths:
+        tot = mfcc_change(batch.samples, cfg, use_fft=use_fft, spectrum=spectrum)
+        return tot, mask
     nf_real = 1 + batch.lengths // cfg.hop_length
     tot = mfcc_change(
-        batch.samples, cfg, frame_lengths=nf_real, use_fft=use_fft
+        batch.samples, cfg, frame_lengths=nf_real, use_fft=use_fft, spectrum=spectrum
     )
-    mask = frame_validity_mask(batch.lengths, batch.samples.shape[-1], cfg)
     return tot, mask
 
 

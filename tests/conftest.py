@@ -31,13 +31,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran before it
     return np.random.default_rng(20260816)
 
 
 @pytest.fixture(scope="session")
-def speechlike(rng):
+def speechlike():
+    rng = np.random.default_rng(20260816)
     """A deterministic speech-like test signal: a few seconds at 10 kHz of
     amplitude-modulated harmonics + noise, with silent lead-in/out."""
     sr = 10_000

@@ -12,8 +12,8 @@ from modulation_mfcc_tpu.ops.derivatives import findiff_apply, np_gradient, velo
 
 
 @pytest.fixture(scope="module")
-def sig(rng):
-    return rng.standard_normal(777)
+def sig():
+    return np.random.default_rng(20260816).standard_normal(777)
 
 
 def test_odd_ext_matches_scipy(sig):
