@@ -6,6 +6,32 @@ modulation spectra, F0, formants, amplitude envelopes, derivatives, peak
 analysis, TextGrid/EMA I/O and CSV export — as a pure-functional, batched,
 mesh-shardable library instead of a Qt desktop app.
 """
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt out: MODMFCC_NO_CACHE=1).
+
+    Remote TPU compilation of the longer pipelines runs minutes; caching
+    makes every later session start warm. Respects an existing user setting.
+    """
+    if _os.environ.get("MODMFCC_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "modmfcc_jax"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_compilation_cache()
+
 from modulation_mfcc_tpu.models.config import (
     AmplitudeConfig,
     EmaConfig,

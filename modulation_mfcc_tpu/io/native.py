@@ -1,0 +1,168 @@
+"""ctypes binding for the native host IO runtime (native/modmfcc_io.cpp).
+
+Auto-builds ``libmodmfcc_io.so`` with make on first use (g++ toolchain) and
+falls back transparently to the pure-Python io/wav.py path when unavailable
+— the native loader is a throughput optimization, never a hard dependency.
+
+The polyphase taps are designed host-side with scipy (same design
+resample_poly uses: kaiser-5.0 firwin at the conservative cutoff), so the
+native resampler is numerically testable against scipy.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = ["native_available", "decode_wav_native", "NativeBatchLoader", "design_resample_taps"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libmodmfcc_io.so")
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.modmfcc_decode_wav.restype = ctypes.c_long
+    lib.modmfcc_decode_wav.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.modmfcc_resample.restype = ctypes.c_long
+    lib.modmfcc_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+    ]
+    lib.modmfcc_free.argtypes = [ctypes.c_void_p]
+    lib.modmfcc_loader_create.restype = ctypes.c_void_p
+    lib.modmfcc_loader_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.modmfcc_loader_add_taps.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+    ]
+    lib.modmfcc_loader_submit.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+    lib.modmfcc_loader_next.restype = ctypes.c_int
+    lib.modmfcc_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.modmfcc_loader_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+def design_resample_taps(up: int, down: int) -> np.ndarray:
+    """scipy.resample_poly's default filter (kaiser 5.0, 10-period half-len)
+    WITHOUT the ``up`` gain (the native kernel applies it)."""
+    from scipy.signal import firwin
+
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    return firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)).astype(np.float64)
+
+
+def decode_wav_native(path: str) -> tuple[np.ndarray, int]:
+    """Native decode (first channel). Raises on failure."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_int()
+    n = lib.modmfcc_decode_wav(path.encode(), ctypes.byref(data), ctypes.byref(sr))
+    if n < 0:
+        raise ValueError(f"{path}: native WAV decode failed")
+    out = np.ctypeslib.as_array(data, shape=(n,)).copy()
+    lib.modmfcc_free(data)
+    return out, sr.value
+
+
+def resample_native(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    taps = design_resample_taps(up, down)
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = lib.modmfcc_resample(
+        x32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x32), up, down,
+        taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(taps),
+        ctypes.byref(out),
+    )
+    y = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    lib.modmfcc_free(out)
+    return y
+
+
+class NativeBatchLoader:
+    """Threaded decode+resample of many files; iterate (index, samples|None)."""
+
+    COMMON_RATES = (8000, 11025, 16000, 22050, 32000, 44100, 48000, 96000)
+
+    def __init__(self, target_sr: int, n_threads: int = 4, source_rates=None):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.modmfcc_loader_create(n_threads, target_sr)
+        self._submitted = 0
+        self._taps_alive = []
+        import math
+
+        for orig in source_rates or self.COMMON_RATES:
+            if orig == target_sr:
+                continue
+            g = math.gcd(int(orig), int(target_sr))
+            up, down = target_sr // g, orig // g
+            taps = design_resample_taps(up, down)
+            self._taps_alive.append(taps)
+            lib.modmfcc_loader_add_taps(
+                self._h, up, down,
+                taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(taps),
+            )
+
+    def submit(self, index: int, path: str):
+        self._lib.modmfcc_loader_submit(self._h, index, path.encode())
+        self._submitted += 1
+
+    def __iter__(self):
+        while True:
+            data = ctypes.POINTER(ctypes.c_float)()
+            n = ctypes.c_long()
+            idx = self._lib.modmfcc_loader_next(self._h, ctypes.byref(data), ctypes.byref(n))
+            if idx < 0:
+                return
+            if n.value < 0:
+                yield idx, None
+                continue
+            out = np.ctypeslib.as_array(data, shape=(n.value,)).copy()
+            self._lib.modmfcc_free(data)
+            yield idx, out
+
+    def close(self):
+        if self._h:
+            self._lib.modmfcc_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -105,8 +105,15 @@ def mfcc_change(
     frame_lengths: jnp.ndarray | None = None,
     use_fft: bool = True,
     spectrum: str | None = None,
+    masked_fir: bool = False,
 ) -> jnp.ndarray:
     """Total MFCC change over time, [..., n_frames].
+
+    ``masked_fir=True`` (static) switches the masked filter stages to the
+    FIR-operator form (ops/masked.masked_sosfiltfilt_fir) — much faster to
+    compile and run, valid only when every utterance has at least the
+    operator's ``min_len`` frames (callers with host-side length knowledge,
+    e.g. bucketed batching, assert this).
 
     Line-by-line parity with get_MFCCS_change (script/mfcc.py:387-427); time
     anchors are host-side via :func:`change_times`.
@@ -139,9 +146,15 @@ def mfcc_change(
         else:
             diff = savgol_filter_jax(filt, 3, 2, deriv=1)
     else:
-        mfiltfilt = jax.vmap(
-            lambda tr, L: masked.masked_sosfiltfilt(sos, zi, padlen, tr, L)
-        )
+        if masked_fir:
+            design = F.design_filtfilt_operator(F._key_of(sos), padlen)
+            mfiltfilt = jax.vmap(
+                lambda tr, L: masked.masked_sosfiltfilt_fir(design, tr, L)
+            )
+        else:
+            mfiltfilt = jax.vmap(
+                lambda tr, L: masked.masked_sosfiltfilt(sos, zi, padlen, tr, L)
+            )
         filt = mfiltfilt(traj, frame_lengths)
         if cfg.diffMethod == "grad":
             diff = jax.vmap(masked.masked_gradient)(filt, frame_lengths)
@@ -153,6 +166,11 @@ def mfcc_change(
     if cfg.outFilter is None:
         if frame_lengths is None:
             tot = F.sosfiltfilt(sos, zi, padlen, tot)
+        elif masked_fir:
+            design = F.design_filtfilt_operator(F._key_of(sos), padlen)
+            tot = jax.vmap(
+                lambda tr, L: masked.masked_sosfiltfilt_fir(design, tr, L)
+            )(tot, frame_lengths)
         else:
             tot = jax.vmap(
                 lambda tr, L: masked.masked_sosfiltfilt(sos, zi, padlen, tr, L)
@@ -169,11 +187,13 @@ def mfcc_change(
                 poly_ord=cfg.outFiltPolyOrd,
             )
         else:
-            tot = _masked_apply_filter(tot, frame_lengths, fs_traj, cfg)
+            tot = _masked_apply_filter(
+                tot, frame_lengths, fs_traj, cfg, masked_fir=masked_fir
+            )
     return tot
 
 
-def _masked_apply_filter(tot, frame_lengths, fs_traj, cfg: MfccConfig):
+def _masked_apply_filter(tot, frame_lengths, fs_traj, cfg: MfccConfig, *, masked_fir=False):
     """Length-masked version of the reference's out-filter stage
     (script/mfcc.py:423-425 → applyFilter)."""
     ftype = F.resolve_filt_type(cfg.outFiltType)
@@ -181,6 +201,11 @@ def _masked_apply_filter(tot, frame_lengths, fs_traj, cfg: MfccConfig):
     wn = tuple((cut / (fs_traj / 2.0)).tolist())
     if cfg.outFilter == "iir":
         sos2, zi2, padlen2 = F.design_butter_sos(cfg.outFiltLen, wn, ftype)
+        if masked_fir:
+            design2 = F.design_filtfilt_operator(F._key_of(sos2), padlen2)
+            return jax.vmap(
+                lambda tr, L: masked.masked_sosfiltfilt_fir(design2, tr, L)
+            )(tot, frame_lengths)
         return jax.vmap(
             lambda tr, L: masked.masked_sosfiltfilt(sos2, zi2, padlen2, tr, L)
         )(tot, frame_lengths)
@@ -209,18 +234,125 @@ def _mfcc_change_jit(y, cfg, use_fft, spectrum):
     return mfcc_change(y, cfg, use_fft=use_fft, spectrum=spectrum)
 
 
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum", "masked_fir"))
+def _mfcc_change_masked_jit(y, frame_lengths, cfg, use_fft, spectrum, masked_fir):
+    return mfcc_change(
+        y, cfg, frame_lengths=frame_lengths, use_fft=use_fft,
+        spectrum=spectrum, masked_fir=masked_fir,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum"))
+def _traj_masked_jit(y, frame_mask, cfg, use_fft, spectrum):
+    return mfcc_trajectories(
+        y, cfg, frame_mask=frame_mask, use_fft=use_fft, spectrum=spectrum
+    )
+
+
+def min_frames_for_fir(cfg: MfccConfig) -> int | None:
+    """Minimum valid frame count for the masked FIR filter path (None when
+    the operator probe declined, e.g. near-unstable designs)."""
+    fs_traj = 1.0 / cfg.tStep
+    cut_norm = cfg.filtCutoff / (fs_traj / 2.0)
+    sos, _, padlen = F.design_butter_sos(cfg.filtOrd, (cut_norm,), "lowpass")
+    d1 = F.design_filtfilt_operator(F._key_of(sos), padlen)
+    if d1 is None:
+        return None
+    need = d1.min_len
+    if cfg.outFilter is None:
+        return need
+    if cfg.outFilter != "iir":
+        return None  # fir/sg out-filters use the scan/savgol masked forms
+    ftype = F.resolve_filt_type(cfg.outFiltType)
+    cut = np.asarray([c for c in cfg.outFiltCutOff if c is not None], dtype=np.float64)
+    wn = tuple((cut / (fs_traj / 2.0)).tolist())
+    sos2, _, padlen2 = F.design_butter_sos(cfg.outFiltLen, wn, ftype)
+    d2 = F.design_filtfilt_operator(F._key_of(sos2), padlen2)
+    if d2 is None:
+        return None
+    return max(need, d2.min_len)
+
+
+def _host_trajectory_tail(m: np.ndarray, cfg: MfccConfig) -> np.ndarray:
+    """The trajectory-rate tail on host with scipy (float64) — used for files
+    too short for the FIR operator, where the device scan path's compile
+    time would dwarf the microseconds of actual work. Bit-identical to the
+    scipy calls the reference makes (script/mfcc.py:393-425)."""
+    import scipy.signal as sps
+
+    if cfg.removeFirst:
+        m = m[:, 1:]
+    traj = m.T.astype(np.float64)  # [n_coef, NF]
+    fs_traj = 1.0 / cfg.tStep
+    cut_norm = cfg.filtCutoff / (fs_traj / 2.0)
+    sos = sps.butter(cfg.filtOrd, cut_norm, btype="low", output="sos")
+    filt = sps.sosfiltfilt(sos, traj)
+    if cfg.diffMethod == "grad":
+        diff = np.gradient(filt, axis=1)
+    else:
+        diff = sps.savgol_filter(filt, 3, 2, deriv=1, axis=1, mode="interp")
+    tot = np.sqrt(np.sum(diff**2, axis=0)) / traj.shape[0]
+    if cfg.outFilter is None:
+        return sps.sosfiltfilt(sos, tot)
+    if cfg.outFilter == "iir":
+        ftype = F.resolve_filt_type(cfg.outFiltType)
+        cut = np.asarray([c for c in cfg.outFiltCutOff if c is not None])
+        wn = cut / (fs_traj / 2.0)
+        sos2 = sps.butter(cfg.outFiltLen, wn if wn.size > 1 else wn[0], btype=ftype, output="sos")
+        return sps.sosfiltfilt(sos2, tot)
+    if cfg.outFilter == "fir":
+        ftype = F.resolve_filt_type(cfg.outFiltType)
+        cut = np.asarray([c for c in cfg.outFiltCutOff if c is not None])
+        b = sps.firwin(cfg.outFiltLen, cut / (fs_traj / 2.0), window=("kaiser", 7.4), pass_zero=ftype)
+        return sps.filtfilt(b, 1.0, tot)
+    if cfg.outFilter == "sg":
+        return sps.savgol_filter(tot, cfg.outFiltLen, cfg.outFiltPolyOrd, deriv=0, mode="interp")
+    raise ValueError(f"Unknown outFilter {cfg.outFilter!r}")
+
+
 def extract_mfcc_change(
-    y, cfg: MfccConfig = MfccConfig(), *, use_fft: bool = True, spectrum: str | None = None
+    y,
+    cfg: MfccConfig = MfccConfig(),
+    *,
+    use_fft: bool = True,
+    spectrum: str | None = None,
+    bucket: int = 16_384,
 ):
     """User-facing: (tot_change, times) for one utterance or a batch.
 
     Drop-in functional replacement for the reference's Mfcc DataSource
-    (script/main.py:726-770): same defaults, same outputs, jitted on TPU.
+    (script/main.py:726-770): same defaults, same outputs.
+
+    Single utterances are zero-padded to a ``bucket`` multiple and processed
+    through the masked pipeline, so ALL lengths within a bucket share one
+    compiled program (remote TPU compilation is minutes; per-length
+    recompiles would make interactive use unusable). Files shorter than the
+    FIR filter operator's minimum run the heavy spectral stage on device and
+    the tiny 200 Hz-rate filter tail on host scipy (exact by construction).
     """
     y = jnp.asarray(y, dtype=jnp.float32)
-    tot = _mfcc_change_jit(y, cfg, use_fft, spectrum)
-    t = change_times(y.shape[-1], cfg)
-    return tot, t
+    if y.ndim != 1:
+        # batched input: exact-shape compile (corpus layers handle bucketing)
+        tot = _mfcc_change_jit(y, cfg, use_fft, spectrum)
+        return tot, change_times(y.shape[-1], cfg)
+    n = y.shape[-1]
+    from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
+
+    t_pad = round_up_to_multiple(max(n, cfg.n_fft), bucket)
+    nf_valid = 1 + n // cfg.hop_length
+    ypad = jnp.pad(y, (0, t_pad - n))[None, :]
+    t = change_times(n, cfg)
+    mf = min_frames_for_fir(cfg)
+    if mf is not None and nf_valid >= mf:
+        fl = jnp.asarray([nf_valid], dtype=jnp.int32)
+        tot = _mfcc_change_masked_jit(ypad, fl, cfg, use_fft, spectrum, True)
+        return jnp.asarray(np.asarray(tot)[0, :nf_valid]), t
+    nf_pad = n_frames_centered(t_pad, cfg.n_fft, cfg.hop_length)
+    mask = (jnp.arange(nf_pad) < nf_valid).astype(jnp.float32)[None, :]
+    m = _traj_masked_jit(ypad, mask, cfg, use_fft, spectrum)
+    m_np = np.asarray(m)[0, :nf_valid, :].astype(np.float64)
+    tot = _host_trajectory_tail(m_np, cfg)
+    return jnp.asarray(tot), t
 
 
 def modulation_spectrum(

@@ -108,6 +108,46 @@ def masked_filtfilt(
     return y3[..., padlen : padlen + t]
 
 
+def masked_sosfiltfilt_fir(design, x: jnp.ndarray, length) -> jnp.ndarray:
+    """FIR-operator sosfiltfilt of x[..., :length] in a static buffer.
+
+    Same operator as filters.sosfiltfilt_fir (probed kernel + edge blocks)
+    with the right edge anchored at the dynamic ``length``:
+
+      y[i] = left_edge          for i <  E
+      y[i] = conv interior      for E <= i < length - E   (reads x[< length])
+      y[i] = right_edge rows    for length - E <= i < length
+
+    Caller contract: ``length >= design.min_len`` for every valid item (the
+    bucketed batch layers guarantee this; shorter items must use the scan
+    variant).
+    """
+    from modulation_mfcc_tpu.ops.filters import _conv_valid_lastaxis
+
+    t = x.shape[-1]
+    k, e, w = design.K, design.E, design.W
+    i = jnp.arange(t)
+    interior_full = _conv_valid_lastaxis(x, design.kernel)  # y[K .. t-K)
+    pad_cfg = [(0, 0)] * (x.ndim - 1) + [(k, k)]
+    interior = jnp.pad(interior_full, pad_cfg)  # aligned: interior[i] ~ y[i]
+    hi = jax.lax.Precision.HIGHEST
+    left = jnp.matmul(x[..., :w], jnp.asarray(design.left.T, dtype=x.dtype), precision=hi)
+    win_idx = length - w + jnp.arange(w)
+    lastwin = _take(x, jnp.clip(win_idx, 0, t - 1))
+    right = jnp.matmul(lastwin, jnp.asarray(design.right.T, dtype=x.dtype), precision=hi)
+    # y[i] for i in [length-E, length) = right[i - (length-E)]
+    ridx = jnp.clip(i - (length - e), 0, e - 1)
+    right_full = _take(right, ridx)
+    lidx = jnp.clip(i, 0, e - 1)
+    left_full = _take(left, lidx)
+    out = jnp.where(
+        i < e,
+        left_full,
+        jnp.where(i < length - e, interior, right_full),
+    )
+    return jnp.where(i < length, out, 0.0)
+
+
 def masked_gradient(x: jnp.ndarray, length, spacing: float = 1.0) -> jnp.ndarray:
     """np.gradient (edge_order=1) of x[..., :length] in a static buffer."""
     t = x.shape[-1]

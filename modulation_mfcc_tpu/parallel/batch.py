@@ -74,6 +74,7 @@ def batched_mfcc_change(
     use_fft: bool = True,
     spectrum: str | None = None,
     uniform_lengths: bool = False,
+    masked_fir: bool = False,
 ):
     """Masked batched modulation-cepstrum: returns (tot_change [B, NF],
     frame_mask [B, NF]). Exact per-file parity on valid frames (the filter
@@ -88,7 +89,8 @@ def batched_mfcc_change(
         return tot, mask
     nf_real = 1 + batch.lengths // cfg.hop_length
     tot = mfcc_change(
-        batch.samples, cfg, frame_lengths=nf_real, use_fft=use_fft, spectrum=spectrum
+        batch.samples, cfg, frame_lengths=nf_real, use_fft=use_fft,
+        spectrum=spectrum, masked_fir=masked_fir,
     )
     return tot, mask
 

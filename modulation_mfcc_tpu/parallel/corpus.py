@@ -1,0 +1,190 @@
+"""Corpus-scale extraction driver: manifest in, feature store out.
+
+The scale layer the reference lacks entirely (it processes one file per GUI
+interaction, SURVEY.md §2e). Design:
+
+  * manifest = list of WAV paths (file, or directory glob);
+  * files are decoded + resampled host-side (background thread), bucketed by
+    length (static shapes → one compiled program per bucket), padded, and
+    streamed to the device with double-buffered prefetch;
+  * extraction is the batched masked modulation pipeline (optionally
+    mesh-sharded over the 'data' axis);
+  * results land in per-file ``.npz`` records (times + features), with a
+    done-manifest for resumable sweeps (crash → rerun skips finished files);
+  * per-file error isolation: a corrupt WAV is logged and skipped, never
+    aborts the sweep (SURVEY.md §5 failure handling).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from functools import partial
+
+import jax
+
+from modulation_mfcc_tpu.models.config import MfccConfig
+from modulation_mfcc_tpu.models.modulation import change_times, min_frames_for_fir
+from modulation_mfcc_tpu.parallel.batch import AudioBatch, batched_mfcc_change, pad_batch
+from modulation_mfcc_tpu.parallel.prefetch import background_iter, prefetch_to_device
+from modulation_mfcc_tpu.utils.obs import ThroughputMeter, log_event
+
+__all__ = ["CorpusSweep", "sweep_mfcc_change"]
+
+
+@dataclass
+class CorpusSweep:
+    """Configuration of one corpus run."""
+
+    out_dir: str
+    cfg: MfccConfig = MfccConfig()
+    batch_size: int = 32
+    bucket_multiple: int = 16_384
+    spectrum: str = "pallas"
+    resume: bool = True
+    use_native_loader: bool = True  # C++ threaded decode+resample when built
+    loader_threads: int = 4
+
+
+def _done_path(sweep: CorpusSweep) -> str:
+    return os.path.join(sweep.out_dir, "_done.txt")
+
+
+def _load_done(sweep: CorpusSweep) -> set[str]:
+    try:
+        with open(_done_path(sweep)) as f:
+            return {line.strip() for line in f if line.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _decode_stream(paths, sweep: CorpusSweep):
+    """Host stage: decode/resample each file; yield (path, samples) or log+skip.
+
+    Uses the native multithreaded loader (native/modmfcc_io.cpp) when built;
+    falls back to the Python reader per file otherwise.
+    """
+    if sweep.use_native_loader:
+        try:
+            from modulation_mfcc_tpu.io.native import NativeBatchLoader, native_available
+
+            if native_available():
+                yield from _decode_stream_native(paths, sweep)
+                return
+        except Exception as e:
+            log_event("corpus.native_loader_unavailable", error=str(e))
+    from modulation_mfcc_tpu.io.wav import load_channel
+
+    for p in paths:
+        try:
+            y = load_channel(p, sweep.cfg.signal_sample_rate)
+            if y.ndim > 1:
+                y = y[0]
+            if len(y) < sweep.cfg.n_fft:
+                raise ValueError(f"too short ({len(y)} samples)")
+            yield p, np.asarray(y, dtype=np.float32)
+        except Exception as e:
+            log_event("corpus.skip", file=p, error=f"{type(e).__name__}: {e}")
+
+
+def _decode_stream_native(paths, sweep: CorpusSweep):
+    from modulation_mfcc_tpu.io.native import NativeBatchLoader
+
+    loader = NativeBatchLoader(
+        int(sweep.cfg.signal_sample_rate), n_threads=sweep.loader_threads
+    )
+    try:
+        for i, p in enumerate(paths):
+            loader.submit(i, p)
+        for idx, samples in loader:
+            p = paths[idx]
+            if samples is None or len(samples) < sweep.cfg.n_fft:
+                log_event("corpus.skip", file=p, error="native decode failed or too short")
+                continue
+            yield p, samples
+    finally:
+        loader.close()
+
+
+def _bucketed_batches(items, sweep: CorpusSweep):
+    """Group decoded files into fixed-size padded batches by length bucket."""
+    buckets: dict[int, list] = {}
+    for path, y in items:
+        from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
+
+        key = round_up_to_multiple(len(y), sweep.bucket_multiple)
+        buckets.setdefault(key, []).append((path, y))
+        if len(buckets[key]) == sweep.batch_size:
+            yield _make_batch(buckets.pop(key), key)
+    for key, group in buckets.items():
+        yield _make_batch(group, key)
+
+
+def _make_batch(group, t_pad):
+    paths = [p for p, _ in group]
+    sigs = [y for _, y in group]
+    lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+    samples = np.zeros((len(sigs), t_pad), dtype=np.float32)
+    for i, s in enumerate(sigs):
+        samples[i, : len(s)] = s
+    return paths, {"samples": samples, "lengths": lengths}
+
+
+def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
+    """Run the sweep; returns the throughput report.
+
+    Output: ``<out_dir>/<basename>.npz`` with keys ``times`` and
+    ``mod_cepstr`` per input file, plus ``_done.txt`` for resume.
+    """
+    os.makedirs(sweep.out_dir, exist_ok=True)
+    done = _load_done(sweep) if sweep.resume else set()
+    todo = [p for p in paths if p not in done]
+    log_event("corpus.start", files=len(paths), todo=len(todo), resumed=len(paths) - len(todo))
+
+    meter = ThroughputMeter()
+    decode = background_iter(_decode_stream(todo, sweep), maxsize=2 * sweep.batch_size)
+    batches = _bucketed_batches(decode, sweep)
+
+    path_groups: list[list[str]] = []
+
+    def device_stream():
+        for paths_b, arrays in batches:
+            path_groups.append(paths_b)
+            yield arrays
+
+    mf = min_frames_for_fir(sweep.cfg)
+
+    @partial(jax.jit, static_argnames=("masked_fir",))
+    def run_batch(samples, lengths, masked_fir):
+        return batched_mfcc_change(
+            AudioBatch(samples, lengths), sweep.cfg,
+            spectrum=sweep.spectrum, masked_fir=masked_fir,
+        )
+
+    with open(_done_path(sweep), "a") as done_f:
+        for arrays in prefetch_to_device(device_stream(), depth=2):
+            lengths_np = np.asarray(arrays["lengths"])
+            nf_min = 1 + int(lengths_np.min()) // sweep.cfg.hop_length
+            fir_ok = mf is not None and nf_min >= mf
+            tot, mask = run_batch(arrays["samples"], arrays["lengths"], fir_ok)
+            tot = np.asarray(tot)
+            mask_np = np.asarray(mask)
+            paths_b = path_groups.pop(0)
+            lengths = np.asarray(arrays["lengths"])
+            for i, p in enumerate(paths_b):
+                nf = int(mask_np[i].sum())
+                times = change_times(int(lengths[i]), sweep.cfg)[:nf]
+                out = os.path.join(
+                    sweep.out_dir, os.path.splitext(os.path.basename(p))[0] + ".npz"
+                )
+                np.savez(out, times=times, mod_cepstr=tot[i, :nf])
+                done_f.write(p + "\n")
+                meter.add(float(lengths[i]) / sweep.cfg.signal_sample_rate)
+            done_f.flush()
+    report = meter.report()
+    log_event("corpus.finish", **report)
+    return report

@@ -1,0 +1,327 @@
+// modmfcc_io — native host-side audio runtime for modulation_mfcc_tpu.
+//
+// The feature pipelines run on TPU; the host's job is to keep the chip fed
+// (SURVEY.md §7: "the bottleneck is host I/O + resampling"). This library
+// provides the native equivalents of the Python io/wav.py path:
+//
+//   * WAV decode (PCM 8/16/24/32, float32/64) → float32 in [-1, 1)
+//   * polyphase FIR resampling with caller-supplied taps (designed by
+//     scipy host-side, so numeric parity with resample_poly is testable)
+//   * a multithreaded batch loader: worker threads decode+resample files
+//     while the caller drains ready results — decouples Python from disk
+//
+// C API only (ctypes-friendly); no Python.h dependency.
+//
+// Build: make -C native   (produces libmodmfcc_io.so)
+
+#include <atomic>
+#include <condition_variable>
+#include <map>
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Decoded {
+  std::vector<float> samples;  // mono (first channel)
+  int sample_rate = 0;
+  std::string error;
+};
+
+uint32_t rd_u32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+uint16_t rd_u16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
+
+Decoded decode_wav(const char* path) {
+  Decoded out;
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    out.error = "cannot open file";
+    return out;
+  }
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)size);
+  if (fread(buf.data(), 1, (size_t)size, f) != (size_t)size) {
+    fclose(f);
+    out.error = "short read";
+    return out;
+  }
+  fclose(f);
+  if (size < 44 || memcmp(buf.data(), "RIFF", 4) != 0 ||
+      memcmp(buf.data() + 8, "WAVE", 4) != 0) {
+    out.error = "not a RIFF/WAVE file";
+    return out;
+  }
+  size_t pos = 12;
+  int fmt_code = 0, n_ch = 0, bits = 0, sr = 0;
+  const uint8_t* data = nullptr;
+  size_t data_len = 0;
+  while (pos + 8 <= (size_t)size) {
+    const uint8_t* hdr = buf.data() + pos;
+    uint32_t csize = rd_u32(hdr + 4);
+    const uint8_t* payload = hdr + 8;
+    if (pos + 8 + csize > (size_t)size) csize = (uint32_t)((size_t)size - pos - 8);
+    if (memcmp(hdr, "fmt ", 4) == 0 && csize >= 16) {
+      fmt_code = rd_u16(payload);
+      n_ch = rd_u16(payload + 2);
+      sr = (int)rd_u32(payload + 4);
+      bits = rd_u16(payload + 14);
+      if (fmt_code == 0xFFFE && csize >= 40) fmt_code = rd_u16(payload + 24);
+    } else if (memcmp(hdr, "data", 4) == 0) {
+      data = payload;
+      data_len = csize;
+    }
+    pos += 8 + csize + (csize & 1);
+  }
+  if (!data || n_ch <= 0 || sr <= 0) {
+    out.error = "missing fmt/data chunk";
+    return out;
+  }
+  size_t bytes_per = (size_t)bits / 8;
+  size_t n_frames = data_len / (bytes_per * (size_t)n_ch);
+  out.samples.resize(n_frames);
+  out.sample_rate = sr;
+  // first channel only (analysis is mono; matches reference channelN=0)
+  if (fmt_code == 1 && bits == 16) {
+    for (size_t i = 0; i < n_frames; i++) {
+      int16_t v;
+      memcpy(&v, data + i * 2 * n_ch, 2);
+      out.samples[i] = (float)v / 32768.0f;
+    }
+  } else if (fmt_code == 1 && bits == 32) {
+    for (size_t i = 0; i < n_frames; i++) {
+      int32_t v;
+      memcpy(&v, data + i * 4 * n_ch, 4);
+      out.samples[i] = (float)((double)v / 2147483648.0);
+    }
+  } else if (fmt_code == 1 && bits == 24) {
+    for (size_t i = 0; i < n_frames; i++) {
+      const uint8_t* p = data + i * 3 * n_ch;
+      int32_t v = (int32_t)(p[0] | (p[1] << 8) | (p[2] << 16));
+      v = (v ^ 0x800000) - 0x800000;
+      out.samples[i] = (float)v / 8388608.0f;
+    }
+  } else if (fmt_code == 1 && bits == 8) {
+    for (size_t i = 0; i < n_frames; i++)
+      out.samples[i] = ((float)data[i * n_ch] - 128.0f) / 128.0f;
+  } else if (fmt_code == 3 && bits == 32) {
+    for (size_t i = 0; i < n_frames; i++) {
+      float v;
+      memcpy(&v, data + i * 4 * n_ch, 4);
+      out.samples[i] = v;
+    }
+  } else if (fmt_code == 3 && bits == 64) {
+    for (size_t i = 0; i < n_frames; i++) {
+      double v;
+      memcpy(&v, data + i * 8 * n_ch, 8);
+      out.samples[i] = (float)v;
+    }
+  } else {
+    out.error = "unsupported WAV format";
+  }
+  return out;
+}
+
+// Polyphase resampling equivalent to scipy.signal.upfirdn + resample_poly
+// trimming: x upsampled by L (zero-stuffed), filtered with h, decimated by M;
+// output shifted by (len(h)-1)/2 and cut to ceil(n*L/M) samples.
+std::vector<float> resample_poly(const std::vector<float>& x, int up, int down,
+                                 const double* h, int n_taps) {
+  if (up == down) return x;
+  const long n_in = (long)x.size();
+  const long n_out = (n_in * (long)up + down - 1) / down;
+  const long half = ((long)n_taps - 1) / 2;
+  std::vector<float> y((size_t)n_out);
+  // y[m] corresponds to hi-rate index t = m*down + half of conv(xu, h):
+  //   conv[t] = sum_k h[k] * xu[t-k],  xu[j] = x[j/up] when j%up==0
+  for (long m = 0; m < n_out; m++) {
+    const long t = m * (long)down + half;
+    double acc = 0.0;
+    // k must satisfy (t-k)%up==0 and 0<=(t-k)/up<n_in and 0<=k<n_taps
+    long k0 = t % up;  // smallest k with (t-k)%up==0
+    for (long k = k0; k < n_taps; k += up) {
+      const long j = (t - k) / up;
+      if (j < 0) break;         // j decreases as k grows: done
+      if (j >= n_in) continue;  // beyond the end (small k): skip
+      acc += h[k] * (double)x[(size_t)j];
+    }
+    y[(size_t)m] = (float)(acc * up);
+  }
+  return y;
+}
+
+struct Job {
+  int index;
+  std::string path;
+};
+
+struct Result {
+  int index = -1;
+  std::vector<float> samples;
+  int sample_rate = 0;
+  std::string error;
+};
+
+struct Loader {
+  int target_sr;
+  // ratio-specific polyphase taps: key = up * 1000000 + down
+  std::map<long, std::vector<double>> taps_table;
+  std::mutex mu;
+  std::condition_variable cv_jobs, cv_results;
+  std::queue<Job> jobs;
+  std::queue<Result> results;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<int> pending{0};
+};
+
+void worker_loop(Loader* L) {
+  while (true) {
+    Job job;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_jobs.wait(lk, [&] { return L->stop || !L->jobs.empty(); });
+      if (L->stop && L->jobs.empty()) return;
+      job = L->jobs.front();
+      L->jobs.pop();
+    }
+    Result r;
+    r.index = job.index;
+    Decoded d = decode_wav(job.path.c_str());
+    if (!d.error.empty()) {
+      r.error = d.error;
+    } else {
+      r.sample_rate = L->target_sr;
+      if (d.sample_rate == L->target_sr) {
+        r.samples = std::move(d.samples);
+      } else {
+        // reduce ratio
+        int a = d.sample_rate, b = L->target_sr;
+        while (b) { int t = a % b; a = b; b = t; }
+        int up = L->target_sr / a, down = d.sample_rate / a;
+        const std::vector<double>* taps = nullptr;
+        {
+          std::lock_guard<std::mutex> lk(L->mu);
+          auto it = L->taps_table.find((long)up * 1000000 + down);
+          if (it != L->taps_table.end()) taps = &it->second;
+        }
+        if (!taps) {
+          r.error = "no resampler taps for ratio";
+        } else {
+          r.samples = resample_poly(d.samples, up, down, taps->data(),
+                                    (int)taps->size());
+        }
+      }
+    }
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->results.push(std::move(r));
+    }
+    L->cv_results.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- one-shot API ---------------------------------------------------------
+
+// Decode a WAV to float32 (first channel). Returns sample count or -1.
+// Caller frees with modmfcc_free. *err_out gets a static error string.
+long modmfcc_decode_wav(const char* path, float** data_out, int* sr_out) {
+  Decoded d = decode_wav(path);
+  if (!d.error.empty()) return -1;
+  float* mem = (float*)malloc(d.samples.size() * sizeof(float));
+  memcpy(mem, d.samples.data(), d.samples.size() * sizeof(float));
+  *data_out = mem;
+  *sr_out = d.sample_rate;
+  return (long)d.samples.size();
+}
+
+long modmfcc_resample(const float* x, long n, int up, int down,
+                      const double* taps, int n_taps, float** out) {
+  std::vector<float> xin(x, x + n);
+  std::vector<float> y = resample_poly(xin, up, down, taps, n_taps);
+  float* mem = (float*)malloc(y.size() * sizeof(float));
+  memcpy(mem, y.data(), y.size() * sizeof(float));
+  *out = mem;
+  return (long)y.size();
+}
+
+void modmfcc_free(void* p) { free(p); }
+
+// ---- threaded batch loader ------------------------------------------------
+
+void* modmfcc_loader_create(int n_threads, int target_sr) {
+  Loader* L = new Loader();
+  L->target_sr = target_sr;
+  if (n_threads < 1) n_threads = 1;
+  for (int i = 0; i < n_threads; i++)
+    L->workers.emplace_back(worker_loop, L);
+  return (void*)L;
+}
+
+// Register polyphase taps for one (up, down) ratio (design done in Python).
+void modmfcc_loader_add_taps(void* handle, int up, int down,
+                             const double* taps, int n_taps) {
+  Loader* L = (Loader*)handle;
+  std::lock_guard<std::mutex> lk(L->mu);
+  L->taps_table[(long)up * 1000000 + down].assign(taps, taps + n_taps);
+}
+
+void modmfcc_loader_submit(void* handle, int index, const char* path) {
+  Loader* L = (Loader*)handle;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->jobs.push(Job{index, std::string(path)});
+    L->pending++;
+  }
+  L->cv_jobs.notify_one();
+}
+
+// Blocks for the next finished file. Returns its index, or -1 if nothing
+// pending. On success *data/*n carry the samples (caller must modmfcc_free);
+// when the file failed, *n == -1 and *data is NULL (error consumed the job).
+int modmfcc_loader_next(void* handle, float** data, long* n) {
+  Loader* L = (Loader*)handle;
+  std::unique_lock<std::mutex> lk(L->mu);
+  if (L->pending.load() == 0 && L->results.empty()) return -1;
+  L->cv_results.wait(lk, [&] { return !L->results.empty(); });
+  Result r = std::move(L->results.front());
+  L->results.pop();
+  L->pending--;
+  if (!r.error.empty()) {
+    *data = nullptr;
+    *n = -1;
+    return r.index;
+  }
+  float* mem = (float*)malloc(r.samples.size() * sizeof(float));
+  memcpy(mem, r.samples.data(), r.samples.size() * sizeof(float));
+  *data = mem;
+  *n = (long)r.samples.size();
+  return r.index;
+}
+
+void modmfcc_loader_destroy(void* handle) {
+  Loader* L = (Loader*)handle;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop = true;
+  }
+  L->cv_jobs.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+}  // extern "C"
