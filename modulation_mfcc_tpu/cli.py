@@ -34,6 +34,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("info", help="print device/mesh info")
 
+    sw = sub.add_parser("sweep", help="corpus sweep: many WAVs → npz feature store")
+    sw.add_argument("inputs", nargs="+", help="WAV files or directories")
+    sw.add_argument("--out", required=True, help="output directory")
+    sw.add_argument("--config", help="reference-schema JSON config file")
+    sw.add_argument("--batch-size", type=int, default=32)
+    sw.add_argument("--spectrum", default="pallas",
+                    choices=("fft", "matmul", "pallas", "pallas_bf16"))
+    sw.add_argument("--no-resume", action="store_true")
+
+    pv = sub.add_parser("plot", help="render an analysis figure for a WAV")
+    pv.add_argument("wav")
+    pv.add_argument("--out", required=True, help="output PNG path")
+    pv.add_argument("--features", default="mod_cepstr,envelope,f0",
+                    help="comma list of curves")
+    pv.add_argument("--textgrid", help="optional TextGrid overlay")
+    pv.add_argument("--config", help="reference-schema JSON config file")
+    pv.add_argument("--region", nargs=2, type=float, metavar=("START", "END"),
+                    help="selection region; peaks are analyzed inside it")
+
     args = p.parse_args(argv)
 
     if args.cmd == "info":
@@ -60,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
         from modulation_mfcc_tpu.runner import run_verify
 
         return run_verify(args)
+    if args.cmd == "sweep":
+        from modulation_mfcc_tpu.runner import run_sweep
+
+        return run_sweep(args)
+    if args.cmd == "plot":
+        from modulation_mfcc_tpu.runner import run_plot
+
+        return run_plot(args)
     return 2
 
 

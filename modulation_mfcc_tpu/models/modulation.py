@@ -317,6 +317,7 @@ def extract_mfcc_change(
     use_fft: bool = True,
     spectrum: str | None = None,
     bucket: int = 16_384,
+    longform_threshold: int = 4_194_304,
 ):
     """User-facing: (tot_change, times) for one utterance or a batch.
 
@@ -338,6 +339,13 @@ def extract_mfcc_change(
     n = y.shape[-1]
     from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 
+    if n >= longform_threshold:
+        # hour-scale recordings: chunked streaming MFCC stage (lax.scan) so
+        # the frame matrix never materializes (BASELINE.json config #4)
+        from modulation_mfcc_tpu.parallel.streaming import chunked_mfcc_change
+
+        tot = chunked_mfcc_change(y, cfg)
+        return tot, change_times(n, cfg)
     t_pad = round_up_to_multiple(max(n, cfg.n_fft), bucket)
     nf_valid = 1 + n // cfg.hop_length
     ypad = jnp.pad(y, (0, t_pad - n))[None, :]

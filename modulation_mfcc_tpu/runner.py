@@ -47,6 +47,58 @@ def run_extract(args) -> int:
     return 0
 
 
+def run_sweep(args) -> int:
+    """Corpus sweep over files/directories (reference has no batch mode)."""
+    import glob as globmod
+    import os
+
+    from modulation_mfcc_tpu.parallel.corpus import CorpusSweep, sweep_mfcc_change
+
+    paths = []
+    for inp in args.inputs:
+        if os.path.isdir(inp):
+            paths.extend(sorted(globmod.glob(os.path.join(inp, "**", "*.wav"), recursive=True)))
+        else:
+            paths.append(inp)
+    if not paths:
+        print("no input WAVs found", file=sys.stderr)
+        return 1
+    cfg = _load_pipeline_config(args.config)
+    sweep = CorpusSweep(
+        out_dir=args.out,
+        cfg=cfg.mfcc,
+        batch_size=args.batch_size,
+        spectrum=args.spectrum,
+        resume=not args.no_resume,
+    )
+    report = sweep_mfcc_change(paths, sweep)
+    print(json.dumps(report))
+    return 0
+
+
+def run_plot(args) -> int:
+    """Render the analysis figure (the reference's display, as a PNG)."""
+    from modulation_mfcc_tpu.models.workbench import AnalysisSession
+
+    cfg = _load_pipeline_config(args.config)
+    s = AnalysisSession(args.wav, cfg)
+    feats = [f.strip() for f in args.features.split(",") if f.strip()]
+    for i, feat in enumerate(feats):
+        try:
+            s.add_curve(feat, panel=i // 2)
+        except Exception as e:
+            print(f"warning: {feat}: {e}", file=sys.stderr)
+    if args.textgrid:
+        s.load_textgrid(args.textgrid)
+    if args.region:
+        s.set_region(args.region[0], args.region[1])
+        s.analyze_max_peaks()
+        s.analyze_min_peaks()
+    s.render(out=args.out)
+    print(args.out)
+    return 0
+
+
 def run_verify(args) -> int:
     """Parity harness: JAX pipeline vs the float64 numpy/scipy oracle."""
     import jax.numpy as jnp
