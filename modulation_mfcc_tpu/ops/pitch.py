@@ -94,35 +94,53 @@ def pitch_ac(
     nw = int(round(periods_per_window / min_pitch * sr))
     nw = min(nw, n)
     hop_s = int(round(dt * sr))
-    nf = max(1, 1 + (n - nw) // hop_s)
-    starts = (np.arange(nf) * hop_s).astype(np.int32)
     # lag search range
     lag_min = max(2, int(np.floor(sr / max_pitch)))
-    lag_max = min(nw - 1, int(np.ceil(sr / min_pitch)))
+    lag_max = min(n - 1, int(np.ceil(sr / min_pitch)))
+    if method == "ac":
+        lag_max = min(lag_max, nw - 1)
     if lag_max <= lag_min:
         raise ValueError("max_pitch/min_pitch incompatible with window length")
-    nfft = next_pow2(int(nw * 1.5))
+    span = nw + (lag_max if method == "cc" else 0)
+    nf = max(1, 1 + (n - span) // hop_s)
+    starts = (np.arange(nf) * hop_s).astype(np.int32)
+    nfft = next_pow2(int(span + lag_max))
 
     xg = x - jnp.mean(x)
     global_peak = jnp.max(jnp.abs(xg)) + 1e-30
 
-    frames = _frame_centered(xg, starts, nw)  # [NF, nw]
-    local_mean = jnp.mean(frames, axis=-1, keepdims=True)
+    frames = _frame_centered(xg, starts, span)  # [NF, span]
+    local_mean = jnp.mean(frames[..., :nw], axis=-1, keepdims=True)
     fr = frames - local_mean
-    local_peak = jnp.max(jnp.abs(fr), axis=-1) + 1e-30
+    local_peak = jnp.max(jnp.abs(fr[..., :nw]), axis=-1) + 1e-30
 
-    w = jnp.asarray(hann(nw, periodic=False), dtype=x.dtype)
-    fw = fr * w
-
-    # normalized autocorrelation via rFFT (batched over frames)
-    spec = jnp.fft.rfft(fw, n=nfft, axis=-1)
-    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : lag_max + 1]
-    r = ac / (ac[..., :1] + 1e-30)
     if method == "ac":
+        # windowed autocorrelation normalized by the window's own
+        # autocorrelation (Boersma's 'ac' estimator)
+        w = jnp.asarray(hann(nw, periodic=False), dtype=x.dtype)
+        fw = fr * w
+        spec = jnp.fft.rfft(fw, n=nfft, axis=-1)
+        ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : lag_max + 1]
+        r = ac / (ac[..., :1] + 1e-30)
         wspec = jnp.fft.rfft(w, n=nfft)
         wac = jnp.fft.irfft(wspec * jnp.conj(wspec), n=nfft)[: lag_max + 1]
         rw = wac / (wac[0] + 1e-30)
         r = r / jnp.maximum(rw, 1e-6)
+    else:
+        # forward normalized cross-correlation ('cc'): the 1-period window
+        # against its lag-shifted copy, energy-normalized per lag
+        base = fr[..., :nw]
+        spec_full = jnp.fft.rfft(fr, n=nfft, axis=-1)
+        spec_base = jnp.fft.rfft(base, n=nfft, axis=-1)
+        cross = jnp.fft.irfft(jnp.conj(spec_base) * spec_full, n=nfft, axis=-1)[
+            ..., : lag_max + 1
+        ]
+        csum = jnp.cumsum(fr * fr, axis=-1)
+        total = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+        idx = jnp.arange(lag_max + 1)
+        e_tau = jnp.take(total, idx + nw, axis=-1) - jnp.take(total, idx, axis=-1)
+        e0 = e_tau[..., :1]
+        r = cross / jnp.sqrt(jnp.maximum(e0 * e_tau, 1e-30))
 
     lags = jnp.arange(lag_max + 1)
     in_range = (lags >= lag_min) & (lags <= lag_max)

@@ -95,20 +95,28 @@ def batched_mfcc_change(
     return tot, mask
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_fft", "mesh"))
-def _sharded_impl(samples, lengths, cfg, use_fft, mesh):
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "mesh", "spectrum", "masked_fir"))
+def _sharded_impl(samples, lengths, cfg, use_fft, mesh, spectrum, masked_fir):
     samples = jax.lax.with_sharding_constraint(
         samples, NamedSharding(mesh, P("data", None))
     )
     lengths = jax.lax.with_sharding_constraint(lengths, NamedSharding(mesh, P("data")))
-    tot, mask = batched_mfcc_change(AudioBatch(samples, lengths), cfg, use_fft=use_fft)
+    tot, mask = batched_mfcc_change(
+        AudioBatch(samples, lengths), cfg, use_fft=use_fft,
+        spectrum=spectrum, masked_fir=masked_fir,
+    )
     # corpus-level stats ride an XLA all-reduce over the data axis
     n_frames = jnp.sum(mask)
     mean_change = jnp.sum(tot * mask) / jnp.maximum(n_frames, 1.0)
     return tot, mask, mean_change
 
 
-def sharded_mfcc_change(batch: AudioBatch, cfg: MfccConfig, mesh, *, use_fft: bool = True):
+def sharded_mfcc_change(
+    batch: AudioBatch, cfg: MfccConfig, mesh, *, use_fft: bool = True,
+    spectrum: str | None = None, masked_fir: bool = False,
+):
     """Data-parallel extraction over the mesh's 'data' axis (pjit-style GSPMD:
     shardings annotated, collectives inserted by XLA)."""
-    return _sharded_impl(batch.samples, batch.lengths, cfg, use_fft, mesh)
+    return _sharded_impl(
+        batch.samples, batch.lengths, cfg, use_fft, mesh, spectrum, masked_fir
+    )

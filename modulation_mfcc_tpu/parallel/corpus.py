@@ -48,6 +48,10 @@ class CorpusSweep:
     resume: bool = True
     use_native_loader: bool = True  # C++ threaded decode+resample when built
     loader_threads: int = 4
+    features: tuple = ("mod_cepstr",)  # any of: mod_cepstr, f0, envelope
+    f0_cfg: object = None  # F0Config | None
+    amp_cfg: object = None  # AmplitudeConfig | None
+    mesh: object = None  # jax.sharding.Mesh | None: data-parallel over 'data'
 
 
 def _done_path(sweep: CorpusSweep) -> str:
@@ -165,14 +169,46 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             spectrum=sweep.spectrum, masked_fir=masked_fir,
         )
 
+    def run_mod(samples_d, lengths_d, fir_ok):
+        if sweep.mesh is not None:
+            from modulation_mfcc_tpu.parallel.batch import sharded_mfcc_change
+
+            tot, mask, _mean = sharded_mfcc_change(
+                AudioBatch(samples_d, lengths_d), sweep.cfg, sweep.mesh,
+                spectrum=sweep.spectrum, masked_fir=fir_ok,
+            )
+            return tot, mask
+        return run_batch(samples_d, lengths_d, fir_ok)
+
+    def extra_features(samples_d, lengths_d):
+        """Batched f0/envelope tracks for the same bucket."""
+        out = {}
+        ab = AudioBatch(samples_d, lengths_d)
+        if "f0" in sweep.features:
+            from modulation_mfcc_tpu.models.config import F0Config
+            from modulation_mfcc_tpu.parallel.features_batch import batched_f0
+
+            f0cfg = sweep.f0_cfg or F0Config()
+            f0, f0_valid = batched_f0(ab, float(sweep.cfg.signal_sample_rate), f0cfg)
+            out["f0"] = (np.asarray(f0), np.asarray(f0_valid), f0cfg.hopSize)
+        if "envelope" in sweep.features:
+            from modulation_mfcc_tpu.models.config import AmplitudeConfig
+            from modulation_mfcc_tpu.parallel.features_batch import batched_envelope
+
+            acfg = sweep.amp_cfg or AmplitudeConfig()
+            amp, a_valid = batched_envelope(ab, float(sweep.cfg.signal_sample_rate), acfg)
+            out["envelope"] = (np.asarray(amp), np.asarray(a_valid), acfg.hopLen)
+        return out
+
     with open(_done_path(sweep), "a") as done_f:
         for arrays in prefetch_to_device(device_stream(), depth=2):
             lengths_np = np.asarray(arrays["lengths"])
             nf_min = 1 + int(lengths_np.min()) // sweep.cfg.hop_length
             fir_ok = mf is not None and nf_min >= mf
-            tot, mask = run_batch(arrays["samples"], arrays["lengths"], fir_ok)
+            tot, mask = run_mod(arrays["samples"], arrays["lengths"], fir_ok)
             tot = np.asarray(tot)
             mask_np = np.asarray(mask)
+            extras = extra_features(arrays["samples"], arrays["lengths"])
             paths_b = path_groups.pop(0)
             lengths = np.asarray(arrays["lengths"])
             for i, p in enumerate(paths_b):
@@ -181,7 +217,12 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
                 out = os.path.join(
                     sweep.out_dir, os.path.splitext(os.path.basename(p))[0] + ".npz"
                 )
-                np.savez(out, times=times, mod_cepstr=tot[i, :nf])
+                rec = {"times": times, "mod_cepstr": tot[i, :nf]}
+                for name, (vals, valid, hop) in extras.items():
+                    nvf = int(valid[i].sum())
+                    rec[name] = vals[i, :nvf]
+                    rec[name + "_times"] = np.arange(nvf) * hop
+                np.savez(out, **rec)
                 done_f.write(p + "\n")
                 meter.add(float(lengths[i]) / sweep.cfg.signal_sample_rate)
             done_f.flush()

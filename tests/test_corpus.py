@@ -43,6 +43,25 @@ def test_sweep_end_to_end(tmp_path):
     np.testing.assert_allclose(rec["mod_cepstr"], want, atol=1e-4)
 
 
+def test_sweep_multifeature_and_mesh(tmp_path):
+    """Sweep with f0+envelope extras, sharded over the virtual 8-device mesh."""
+    from modulation_mfcc_tpu.parallel.mesh import make_mesh
+
+    paths = _mk_corpus(tmp_path, n=4)
+    out = tmp_path / "feats"
+    sweep = CorpusSweep(
+        out_dir=str(out), batch_size=4, spectrum="fft",
+        features=("mod_cepstr", "f0", "envelope"), mesh=make_mesh(8, 1),
+    )
+    report = sweep_mfcc_change(paths, sweep)
+    assert report["items"] == 4
+    rec = np.load(out / "utt1.npz")
+    assert {"times", "mod_cepstr", "f0", "f0_times", "envelope", "envelope_times"} <= set(rec.keys())
+    v = rec["f0"][rec["f0"] > 0]
+    assert abs(np.median(v) - 130.0) < 5.0  # utt1: 120+10*1 Hz tone
+    assert rec["envelope"].max() > 0.1
+
+
 def test_sweep_resume_and_isolation(tmp_path):
     paths = _mk_corpus(tmp_path, n=4)
     # corrupt file must be skipped, not abort

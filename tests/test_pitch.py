@@ -72,6 +72,19 @@ def test_pitch_no_octave_halving():
     assert np.std(voiced) < 5.0
 
 
+def test_pitch_cc_method():
+    y = harmonic(155.0)
+    f0 = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR, method="cc"))
+    v = f0[f0 > 0]
+    assert len(v) > 0.9 * len(f0)
+    assert abs(np.median(v) - 155.0) < 2.0
+    # low-pitch tracking needs the forward window (lags beyond one window)
+    y2 = harmonic(80.0)
+    f0b = np.asarray(pitch_ac(jnp.asarray(y2, dtype=jnp.float32), sr=SR, method="cc"))
+    vb = f0b[f0b > 0]
+    assert abs(np.median(vb) - 80.0) < 2.0
+
+
 def test_extract_f0_full_chain():
     y = np.concatenate([np.zeros(2000), harmonic(160.0, dur=0.8), np.zeros(2000)])
     cfg = F0Config(outFiltCutOff=(12.0,))
