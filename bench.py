@@ -57,7 +57,7 @@ def _throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> floa
 
 
 def main() -> None:
-    batch, seconds, n_super = 128, 30.0, 2
+    batch, seconds, n_super = 128, 30.0, 4
     bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
     f32 = _throughput("pallas", batch, seconds, n_super)
     per_chip_target = 500.0 / 8.0

@@ -4,23 +4,28 @@ The XLA path materializes the overlapping frame matrix in HBM (a ~6x blow-up
 of the audio: 512-sample frames every 80 samples) before the DFT matmuls.
 This kernel never materializes frames outside VMEM:
 
-  grid (b, j): DMA one audio span [span] HBM→VMEM
-               → build frames [BLKF, n_fft] with ceil(n_fft/hop) static
-                 shifted slices of the span's [*, hop] reshape (no gather —
-                 pure sublane moves)
-               → re/im = frames @ windowed-DFT bases   (MXU)
-               → power = re² + im²                     (VPU)
-               → mel   = power @ melᵀ                  (MXU)
-               → write mel block [BLKF, n_mels] + per-block max
+  grid (b, j): Pallas pipelines two input blocks per step — the frame
+               block's own hop-rows [blkf, lane] plus a small tail block
+               (the next ceil(n_fft/hop) rows) — double-buffered HBM→VMEM
+               like any BlockSpec input (no manual DMA, full overlap of
+               copy and compute)
+               → frames [blkf, n_fft] built from ceil(n_fft/hop) shifted
+                 sublane slices of the row buffer (no gather)
+               → re/im = frames @ windowed-DFT bases    (one MXU contraction)
+               → power = re² + im²                      (VPU)
+               → mel   = power @ melᵀ                   (MXU)
+               → write mel block [blkf, n_mels] + per-block max tile
 
-HBM traffic drops from (frames 6x + spectra) to (audio 1x + mel out), and
-the DFT/mel contractions run back-to-back from VMEM. The log/clip/DCT tail
-stays in XLA (it is tiny and needs the global max anyway).
+HBM traffic is (audio·(128/hop) + mel out) instead of (frames 6.4x +
+spectra); the per-block maxes feed librosa's top_db clip without re-reading
+mel. The log/clip/DCT tail is a second tiny kernel (one mel read, one
+[*, n_mfcc] write).
 
 dtype modes:
-  * float32 — parity mode (matches the jnp matmul path);
-  * bfloat16 bases/frames with f32 accumulation — corpus throughput mode
-    (BASELINE.json config #5), ~1e-2 MFCC error documented.
+  * float32 — parity mode (HIGHEST-precision MXU passes; ~2e-5 vs the rfft
+    oracle measured on hardware);
+  * bfloat16 — corpus throughput mode (BASELINE.json config #5), mel stored
+    bf16, ~0.5 dB-domain error documented.
 """
 from __future__ import annotations
 
@@ -36,43 +41,50 @@ from jax.experimental.pallas import tpu as pltpu
 from modulation_mfcc_tpu.ops.spectral import dct_matrix, dft_bases, mel_filterbank
 from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 
-__all__ = ["fused_mel_frontend", "fused_mfcc"]
+__all__ = ["fused_mel_frontend", "fused_mfcc", "mfcc_tail"]
+
+_TAIL_ROWS = 16  # >= ceil(n_fft/hop) for all supported configs; 8-multiple
 
 
-def _kernel(audio_ref, wr_ref, wi_ref, mel_ref, out_ref, span_vmem, sem,
-            *, blkf: int, hop: int, n_fft: int, span: int, compute_dtype,
-            out_dtype=jnp.float32):
-    # audio_ref is [B, rows_total, hop] (hop-sample rows); one DMA pulls the
-    # row block covering this frame block plus its n_fft tail.
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    rows = round_up_to_multiple(span // hop, 8)  # sublane-aligned DMA
-    copy = pltpu.make_async_copy(
-        audio_ref.at[b, pl.ds(j * blkf, rows), :], span_vmem, sem
-    )
-    copy.start()
-    copy.wait()
-    # frames[i, k*hop:(k+1)*hop] = rows[i+k] — shifted sublane slices, no gather
+def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
+            *, blkf: int, hop: int, n_fft: int, lane: int, bins_pad: int,
+            compute_dtype, out_dtype, frame_mode: str = "concat"):
     n_shift = -(-n_fft // hop)
-    parts = []
-    for k in range(n_shift):
-        width = min(hop, n_fft - k * hop)
-        parts.append(span_vmem[k : k + blkf, :width])
-    frames = jnp.concatenate(parts, axis=-1).astype(compute_dtype)
-    # HIGHEST: f32-exact MXU passes in parity mode; bf16 compute_dtype runs
-    # single-pass bf16 multiplies (Mosaic rejects fp32 contract on bf16 in).
+    # stage the pipelined blocks into one contiguous scratch so the shifted
+    # slices below share a base layout (Mosaic cannot concat views of a
+    # concat with mismatched sublane offsets)
+    rows_vmem[:blkf] = main_ref[0]
+    rows_vmem[blkf:] = tail_ref[0]
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    re = jnp.dot(frames, wr_ref[:], preferred_element_type=jnp.float32, precision=prec)
-    im = jnp.dot(frames, wi_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    if frame_mode == "concat":
+        # frames[i, k*hop:(k+1)*hop] = rows[i+k, :hop] — shifted sublane slices
+        parts = []
+        for k in range(n_shift):
+            width = min(hop, n_fft - k * hop)
+            parts.append(rows_vmem[k : k + blkf, :width])
+        frames = jnp.concatenate(parts, axis=-1).astype(compute_dtype)
+        reim = jnp.dot(frames, wri_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    else:
+        # frames @ W == Σ_k rows[k:k+blkf] @ W_k (W_k = rows of W for hop-
+        # chunk k, zero-padded to the lane width): no frame materialization
+        reim = jnp.zeros((blkf, 2 * bins_pad), dtype=jnp.float32)
+        for k in range(n_shift):
+            lhs = rows_vmem[k : k + blkf, :].astype(compute_dtype)
+            rhs = wri_ref[k * lane : (k + 1) * lane, :]
+            reim = reim + jnp.dot(lhs, rhs, preferred_element_type=jnp.float32, precision=prec)
+    re = reim[:, :bins_pad]
+    im = reim[:, bins_pad:]
     p = re * re + im * im
     mel = jnp.dot(
-        p.astype(compute_dtype), mel_ref[:], preferred_element_type=jnp.float32, precision=prec
+        p.astype(compute_dtype), mel_ref[:], preferred_element_type=jnp.float32,
+        precision=prec,
     )
     out_ref[0] = mel.astype(out_dtype)
+    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel), dtype=jnp.float32)
 
 
 def fused_mel_frontend(
@@ -85,30 +97,36 @@ def fused_mel_frontend(
     n_mels: int = 128,
     fmin: float = 100.0,
     fmax: float | None = None,
-    blkf: int = 512,
+    blkf: int = 1024,
     compute_dtype=jnp.float32,
     out_dtype=jnp.float32,
+    frame_mode: str = "concat",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(mel [B, NF_pad, n_mels], global_max scalar) for audio [B, T].
+    """(mel [B, NF_pad, n_mels], block_maxes [B, nj, 8, 128]) for audio [B, T].
 
     NF_pad rounds the librosa frame count up to a block multiple; callers
     slice [:, :nf]. Centered framing (librosa center=True, zero pad).
     """
     if audio.ndim == 1:
         audio = audio[None, :]
+    if hop > 128 and hop % 128:
+        raise ValueError(f"hop {hop} > 128 must be a multiple of 128")
+    n_shift = -(-n_fft // hop)
+    if n_shift > _TAIL_ROWS:
+        raise ValueError(f"n_fft/hop ratio {n_shift} exceeds tail buffer {_TAIL_ROWS}")
     bsz, t = audio.shape
     pad = n_fft // 2
     nf = 1 + t // hop
     nj = -(-nf // blkf)
     nf_pad = nj * blkf
-    span = blkf * hop + round_up_to_multiple(n_fft, hop)
-    span = round_up_to_multiple(span // hop, 8) * hop  # sublane-aligned rows
-    total = nf_pad * hop + span  # generous tail so every DMA is in range
+    lane = max(hop, 128)
+    # hop-rows, one extra block so the tail view of the last step is in range
+    rows_total = (nj + 1) * blkf
+    total = rows_total * hop
     audio_p = jnp.pad(audio, ((0, 0), (pad, total - t - pad)))
-    # hop-sample rows, padded to the 128-lane tile so row blocks slice cleanly
-    audio_p = audio_p.reshape(bsz, total // hop, hop)
-    lane = 128
-    audio_p = jnp.pad(audio_p, ((0, 0), (0, 0), (0, lane - hop))) if hop < lane else audio_p
+    audio_p = audio_p.reshape(bsz, rows_total, hop)
+    if hop < lane:
+        audio_p = jnp.pad(audio_p, ((0, 0), (0, 0), (0, lane - hop)))
 
     wr, wi = dft_bases(n_fft, "hann", win_length or n_fft)
     n_bins = wr.shape[1]
@@ -118,45 +136,61 @@ def fused_mel_frontend(
     # 257→256 bins avoids a whole extra 128-lane tile in the DFT matmuls.
     nz = np.flatnonzero(np.abs(m_full).sum(axis=0) > 0)
     n_bins = int(nz[-1]) + 1 if nz.size else n_bins
-    wr = wr[:, :n_bins]
-    wi = wi[:, :n_bins]
     bins_pad = round_up_to_multiple(n_bins, 128)
-    wr_p = np.zeros((n_fft, bins_pad), np.float32)
-    wr_p[:, :n_bins] = wr
-    wi_p = np.zeros((n_fft, bins_pad), np.float32)
-    wi_p[:, :n_bins] = wi
+    if frame_mode == "concat":
+        wri_p = np.zeros((n_fft, 2 * bins_pad), np.float32)
+        wri_p[:, :n_bins] = wr[:, :n_bins]
+        wri_p[:, bins_pad : bins_pad + n_bins] = wi[:, :n_bins]
+    else:
+        # per-hop-chunk base rows at lane stride (zero rows over the pad)
+        wri_p = np.zeros((n_shift * lane, 2 * bins_pad), np.float32)
+        for c in range(n_shift):
+            width = min(hop, n_fft - c * hop)
+            wri_p[c * lane : c * lane + width, :n_bins] = wr[c * hop : c * hop + width, :n_bins]
+            wri_p[c * lane : c * lane + width, bins_pad : bins_pad + n_bins] = wi[c * hop : c * hop + width, :n_bins]
     m_p = np.zeros((bins_pad, n_mels), np.float32)
     m_p[:n_bins, :] = m_full.T[:n_bins]
 
     cd = compute_dtype
     kern = partial(
-        _kernel, blkf=blkf, hop=hop, n_fft=n_fft, span=span, compute_dtype=cd,
-        out_dtype=out_dtype,
+        _kernel, blkf=blkf, hop=hop, n_fft=n_fft, lane=lane, bins_pad=bins_pad,
+        compute_dtype=cd, out_dtype=out_dtype, frame_mode=frame_mode,
     )
-    mel_out = pl.pallas_call(
+    tail_stride = blkf // _TAIL_ROWS
+    mel_out, bmax = pl.pallas_call(
         kern,
         grid=(bsz, nj),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # audio stays in HBM
-            pl.BlockSpec((n_fft, bins_pad), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, bins_pad), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _TAIL_ROWS, lane),
+                lambda b, j: (b, (j + 1) * tail_stride, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (wri_p.shape[0], 2 * bins_pad), lambda b, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((bins_pad, n_mels), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((round_up_to_multiple(span // hop, 8), max(hop, 128)), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+        out_specs=[
+            pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM),
         ],
-    )(audio_p, jnp.asarray(wr_p).astype(cd), jnp.asarray(wi_p).astype(cd),
-      jnp.asarray(m_p).astype(cd))
-    return mel_out, jnp.max(mel_out)
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
+            jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
+    )(audio_p, audio_p, jnp.asarray(wri_p).astype(cd), jnp.asarray(m_p).astype(cd))
+    return mel_out, bmax
 
 
 def _tail_kernel(mel_ref, peak_ref, dct_ref, out_ref, *, n_mfcc: int):
-    """log10 → top_db clip → DCT, one mel read, one [*, n_mfcc] write."""
+    """log10 → top_db clip → DCT, one mel read, one write.
+
+    The DCT matrix is zero-padded to a full 128-lane output tile (13 live
+    columns would otherwise strand the MXU on a 13-lane write)."""
     b = pl.program_id(0)
     mel = mel_ref[0].astype(jnp.float32)
     db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
@@ -167,25 +201,29 @@ def _tail_kernel(mel_ref, peak_ref, dct_ref, out_ref, *, n_mfcc: int):
     )
 
 
-def mfcc_tail(mel: jnp.ndarray, peak: jnp.ndarray, n_mfcc: int, blkf: int = 512) -> jnp.ndarray:
+def mfcc_tail(mel: jnp.ndarray, peak: jnp.ndarray, n_mfcc: int, blkf: int = 1024) -> jnp.ndarray:
     """Fused dB/clip/DCT over mel [B, NF_pad, n_mels] with per-batch-item
     db peaks [B] (librosa power_to_db top_db=80 + DCT-II ortho)."""
     bsz, nf_pad, n_mels = mel.shape
     nj = nf_pad // blkf
+    out_cols = round_up_to_multiple(n_mfcc, 128)
+    dct_p = np.zeros((n_mels, out_cols), np.float32)
+    dct_p[:, :n_mfcc] = dct_matrix(n_mfcc, n_mels).T
     kern = partial(_tail_kernel, n_mfcc=n_mfcc)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(bsz, nj),
         in_specs=[
             pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bsz, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_mels, n_mfcc), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, out_cols), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, blkf, n_mfcc), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            (1, blkf, out_cols), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, nf_pad, n_mfcc), jnp.float32),
-    )(mel, peak.reshape(bsz, 1), jnp.asarray(dct_matrix(n_mfcc, n_mels).T, dtype=jnp.float32))
+        out_shape=jax.ShapeDtypeStruct((bsz, nf_pad, out_cols), jnp.float32),
+    )(mel, peak.reshape(bsz, 1), jnp.asarray(dct_p))
+    return out[..., :n_mfcc]
 
 
 def fused_mfcc(
@@ -202,7 +240,7 @@ def fused_mfcc(
     compute_dtype=jnp.float32,
     frame_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """MFCC [B, NF, n_mfcc] via the fused kernel + XLA log/clip/DCT tail.
+    """MFCC [B, NF, n_mfcc] via the fused kernels.
 
     librosa semantics (power=2, power_to_db top_db=80, DCT-II ortho), same
     contract as ops/spectral.mfcc_from_frames.
@@ -212,8 +250,8 @@ def fused_mfcc(
         audio = audio[None, :]
     t = audio.shape[-1]
     nf = 1 + t // hop
-    blkf = 512
-    mel, _ = fused_mel_frontend(
+    blkf = 1024
+    mel, bmax = fused_mel_frontend(
         audio,
         sr=sr,
         n_fft=n_fft,
@@ -227,15 +265,17 @@ def fused_mfcc(
         out_dtype=jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32,
     )
     # per-utterance top_db peak: log10 is monotone, so peak_db =
-    # 10·log10(max(mel_power)) over valid frames — one cheap reduce.
+    # 10·log10(max(mel_power)) over valid frames — from the kernel's
+    # per-block maxes when no mask, one masked mel reduce otherwise.
     if frame_mask is not None:
         fm = jnp.pad(frame_mask, ((0, 0), (0, mel.shape[1] - frame_mask.shape[1])))
         pmax = jnp.max(
             jnp.where(fm[..., None] > 0, mel.astype(jnp.float32), 0.0), axis=(1, 2)
         )
     else:
-        valid = (jnp.arange(mel.shape[1]) < nf)[None, :, None]
-        pmax = jnp.max(jnp.where(valid, mel.astype(jnp.float32), 0.0), axis=(1, 2))
+        # padded frames read zero audio → mel 0 is never the max; block
+        # maxes over the padded tail are safe to include
+        pmax = jnp.max(bmax, axis=(1, 2, 3))
     peak = 10.0 * jnp.log10(jnp.maximum(pmax, 1e-10))
     out = mfcc_tail(mel, peak, n_mfcc, blkf=blkf)[:, :nf, :]
     return out[0] if single else out
