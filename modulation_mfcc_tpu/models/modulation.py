@@ -139,8 +139,15 @@ def mfcc_change(
     fs_traj = 1.0 / cfg.tStep
     cut_norm = cfg.filtCutoff / (fs_traj / 2.0)
     sos, zi, padlen = F.design_butter_sos(cfg.filtOrd, (cut_norm,), "lowpass")
+    # corpus (bf16) mode relaxes the filter convs to bf16 multiplies too —
+    # consistent with the front-end's documented accuracy mode
+    fprec = (
+        jax.lax.Precision.DEFAULT
+        if spectrum == "pallas_bf16"
+        else jax.lax.Precision.HIGHEST
+    )
     if frame_lengths is None:
-        filt = F.sosfiltfilt(sos, zi, padlen, traj)
+        filt = F.sosfiltfilt(sos, zi, padlen, traj, fprec)
         if cfg.diffMethod == "grad":
             diff = np_gradient(filt)  # spacing 1: np.gradient(..., axis=1)
         else:
@@ -165,7 +172,7 @@ def mfcc_change(
     tot = jnp.sqrt(jnp.sum(diff * diff, axis=-2)) / n_coef
     if cfg.outFilter is None:
         if frame_lengths is None:
-            tot = F.sosfiltfilt(sos, zi, padlen, tot)
+            tot = F.sosfiltfilt(sos, zi, padlen, tot, fprec)
         elif masked_fir:
             design = F.design_filtfilt_operator(F._key_of(sos), padlen)
             tot = jax.vmap(

@@ -121,7 +121,8 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None) -> j
 
 
 def sosfiltfilt(
-    sos: np.ndarray, zi: np.ndarray, padlen: int, x: jnp.ndarray
+    sos: np.ndarray, zi: np.ndarray, padlen: int, x: jnp.ndarray,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Zero-phase SOS filtering along the last axis == scipy.signal.sosfiltfilt.
 
@@ -134,7 +135,7 @@ def sosfiltfilt(
     """
     design = design_filtfilt_operator(_key_of(sos), padlen)
     if design is not None and x.shape[-1] >= design.min_len:
-        return sosfiltfilt_fir(design, x)
+        return sosfiltfilt_fir(design, x, precision)
     return sosfiltfilt_scan(sos, zi, padlen, x)
 
 
@@ -146,9 +147,9 @@ def sosfiltfilt_scan(sos: np.ndarray, zi: np.ndarray, padlen: int, x: jnp.ndarra
     trim.
     """
     ext = odd_ext(x, padlen)
-    zi_b = zi[:, None, :] if x.ndim > 1 else zi  # [ns, 1.., 2] broadcast
-    while zi_b.ndim - 2 < x.ndim - 1:
-        zi_b = zi_b[:, None, ...]
+    # scipy shape convention: zi [ns, 2] broadcast over x's leading dims and
+    # scaled by the first extended sample
+    zi_b = np.asarray(zi).reshape((zi.shape[0],) + (1,) * (x.ndim - 1) + (2,))
     x0 = ext[..., :1]
     y = sosfilt(sos, ext, zi=jnp.asarray(zi_b) * x0[None, ..., :])
     y = jnp.flip(y, axis=-1)
@@ -280,7 +281,9 @@ def design_filtfilt_operator(key, padlen: int):
     return _operator_cache(key[0], key[1], padlen)
 
 
-def _conv_valid_lastaxis(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+def _conv_valid_lastaxis(
+    x: jnp.ndarray, kernel: np.ndarray, precision=jax.lax.Precision.HIGHEST
+) -> jnp.ndarray:
     """VALID cross-correlation along the last axis.
 
     Long kernels route through a blocked Toeplitz matmul — 128 outputs per
@@ -303,7 +306,7 @@ def _conv_valid_lastaxis(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
         for j in range(blk):
             km[j : j + klen, j] = kernel
         out = jnp.matmul(
-            x3, jnp.asarray(km, dtype=x.dtype), precision=jax.lax.Precision.HIGHEST
+            x3, jnp.asarray(km, dtype=x.dtype), precision=precision
         )  # [..., nb, blk]
         return out.reshape(lead + (nb * blk,))[..., :n_out]
     xr = x.reshape((-1, 1, t))
@@ -311,18 +314,21 @@ def _conv_valid_lastaxis(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     out = jax.lax.conv_general_dilated(
         xr, k, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return out[:, 0, :].reshape(lead + (t - klen + 1,))
 
 
-def sosfiltfilt_fir(d: FirFiltfiltDesign, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply the probed filtfilt operator (exact == scipy for len >= min_len)."""
+def sosfiltfilt_fir(
+    d: FirFiltfiltDesign, x: jnp.ndarray, precision=jax.lax.Precision.HIGHEST
+) -> jnp.ndarray:
+    """Apply the probed filtfilt operator (exact == scipy for len >= min_len
+    at HIGHEST precision; DEFAULT = bf16 multiplies for the corpus mode)."""
     n = x.shape[-1]
     # kernel is symmetric; correlation == convolution
-    interior = _conv_valid_lastaxis(x, d.kernel)  # covers y[K .. n-K)
+    interior = _conv_valid_lastaxis(x, d.kernel, precision)  # covers y[K .. n-K)
     mid = interior[..., d.E - d.K : n - d.E - d.K]
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     left = jnp.matmul(x[..., : d.W], jnp.asarray(d.left.T, dtype=x.dtype), precision=hi)
     right = jnp.matmul(x[..., -d.W :], jnp.asarray(d.right.T, dtype=x.dtype), precision=hi)
     return jnp.concatenate([left, mid, right], axis=-1)

@@ -80,6 +80,7 @@ def pitch_ac(
     octave_jump_cost: float = 0.35,
     voiced_unvoiced_cost: float = 0.14,
     periods_per_window: float = 3.0,
+    valid_len=None,
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz (0 where unvoiced) for a 1-D signal.
 
@@ -106,8 +107,16 @@ def pitch_ac(
     starts = (np.arange(nf) * hop_s).astype(np.int32)
     nfft = next_pow2(int(span + lag_max))
 
-    xg = x - jnp.mean(x)
-    global_peak = jnp.max(jnp.abs(xg)) + 1e-30
+    # valid_len (traced, optional): true sample count when x is a padded
+    # buffer — keeps the global mean/peak per-utterance in batched use
+    if valid_len is None:
+        xg = x - jnp.mean(x)
+        global_peak = jnp.max(jnp.abs(xg)) + 1e-30
+    else:
+        in_sig = jnp.arange(n) < valid_len
+        mean = jnp.sum(jnp.where(in_sig, x, 0.0)) / jnp.maximum(valid_len, 1)
+        xg = jnp.where(in_sig, x - mean, 0.0)
+        global_peak = jnp.max(jnp.abs(xg)) + 1e-30
 
     frames = _frame_centered(xg, starts, span)  # [NF, span]
     local_mean = jnp.mean(frames[..., :nw], axis=-1, keepdims=True)

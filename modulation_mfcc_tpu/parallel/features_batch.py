@@ -36,11 +36,12 @@ __all__ = ["batched_f0", "batched_envelope", "batched_formants"]
 
 
 @partial(jax.jit, static_argnames=("sr", "cfg"))
-def _f0_impl(samples, sr, cfg: F0Config):
+def _f0_impl(samples, lengths, sr, cfg: F0Config):
     method = "ac" if cfg.method == "praatac" else "cc"
     return jax.vmap(
-        lambda y: pitch_ac(
+        lambda y, L: pitch_ac(
             y,
+            valid_len=L,
             sr=sr,
             hop=cfg.hopSize,
             min_pitch=float(cfg.minPitch),
@@ -53,7 +54,7 @@ def _f0_impl(samples, sr, cfg: F0Config):
             octave_jump_cost=cfg.octaveJumpCost,
             voiced_unvoiced_cost=cfg.voicedUnvoicedCost,
         )
-    )(samples)
+    )(samples, lengths)
 
 
 def batched_f0(batch: AudioBatch, sr: float, cfg: F0Config = F0Config()):
@@ -62,7 +63,7 @@ def batched_f0(batch: AudioBatch, sr: float, cfg: F0Config = F0Config()):
     Post-processing (NaN interp, filtering) is host-side per file like
     extract_f0; this provides the heavy tracking stage at corpus scale.
     """
-    f0 = _f0_impl(batch.samples, float(sr), cfg)
+    f0 = _f0_impl(batch.samples, batch.lengths, float(sr), cfg)
     nf = f0.shape[-1]
     hop_s = max(1, int(round(cfg.hopSize * sr)))
     periods = 3.0 if cfg.method == "praatac" else 1.0

@@ -108,9 +108,14 @@ def chunked_mfcc_trajectories(
     return out.reshape(n_chunks * frames_per_chunk, cfg.n_mfcc)[:nf]
 
 
-def _trajectory_postprocess(m: jnp.ndarray, cfg: MfccConfig) -> jnp.ndarray:
+def _trajectory_postprocess(
+    m: jnp.ndarray, cfg: MfccConfig, precision=None
+) -> jnp.ndarray:
     """Shared trajectory-rate tail of the modulation pipeline: drop C0,
     low-pass, derivative, norm, final filter (script/mfcc.py:393-425)."""
+    import jax
+
+    precision = precision or jax.lax.Precision.HIGHEST
     if cfg.removeFirst:
         m = m[..., 1:]
     n_coef = m.shape[-1]
@@ -118,14 +123,14 @@ def _trajectory_postprocess(m: jnp.ndarray, cfg: MfccConfig) -> jnp.ndarray:
     fs_traj = 1.0 / cfg.tStep
     cut_norm = cfg.filtCutoff / (fs_traj / 2.0)
     sos, zi, padlen = F.design_butter_sos(cfg.filtOrd, (cut_norm,), "lowpass")
-    filt = F.sosfiltfilt(sos, zi, padlen, traj)
+    filt = F.sosfiltfilt(sos, zi, padlen, traj, precision)
     if cfg.diffMethod == "grad":
         diff = np_gradient(filt)
     else:
         diff = savgol_filter_jax(filt, 3, 2, deriv=1)
     tot = jnp.sqrt(jnp.sum(diff * diff, axis=-2)) / n_coef
     if cfg.outFilter is None:
-        tot = F.sosfiltfilt(sos, zi, padlen, tot)
+        tot = F.sosfiltfilt(sos, zi, padlen, tot, precision)
     else:
         tot = F.apply_filter(
             tot,
