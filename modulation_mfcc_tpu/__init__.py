@@ -49,4 +49,19 @@ from modulation_mfcc_tpu.models.modulation import (
     modulation_spectrum,
 )
 
+# BASELINE.json API names: extract_mfcc / extract_modulation
+extract_modulation = extract_mfcc_change
+
+
+def extract_mfcc(y, cfg: "MfccConfig" = None, **kw):
+    """(times, mfcc [NF, n_mfcc]) — librosa-semantics MFCC matrix."""
+    import jax.numpy as _jnp
+
+    from modulation_mfcc_tpu.models.modulation import change_times
+
+    cfg = cfg or MfccConfig()
+    y = _jnp.asarray(y, dtype=_jnp.float32)
+    m = mfcc_trajectories(y, cfg, **kw)
+    return change_times(y.shape[-1], cfg), m
+
 __version__ = "0.1.0"

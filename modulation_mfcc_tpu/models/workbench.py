@@ -128,6 +128,46 @@ class AnalysisSession:
         if not (0 <= panel < self.n_panels):
             raise ValueError(f"panel must be in [0, {self.n_panels})")
 
+    # ---- manual point editing (CalculationValues/PointOperation parity,
+    # quadruple_axis_plot_item.py:187-328) --------------------------------
+    SNAP_THRESHOLD = 0.2  # seconds; the reference's nearest-x click radius
+
+    def add_manual_peak(self, curve_name: str, time: float, *, kind: str = "max"):
+        """Add a min/max marker at the curve sample nearest to ``time``
+        (within the snap threshold, like the reference's click handling).
+        Returns (snapped_time, value) or None when nothing is in range."""
+        c = self.curves[curve_name]
+        i = int(np.argmin(np.abs(c.times - time)))
+        if abs(float(c.times[i]) - time) > self.SNAP_THRESHOLD:
+            return None
+        t_snap, v = float(c.times[i]), float(c.values[i])
+        peaks = c.max_peaks if kind == "max" else c.min_peaks
+        pt = np.append(peaks[0], t_snap)
+        pv = np.append(peaks[1], v)
+        order = np.argsort(pt)
+        if kind == "max":
+            c.max_peaks = (pt[order], pv[order])
+        else:
+            c.min_peaks = (pt[order], pv[order])
+        return t_snap, v
+
+    def remove_manual_peak(self, curve_name: str, time: float, *, kind: str = "max"):
+        """Remove the marker nearest ``time`` (within the snap threshold)."""
+        c = self.curves[curve_name]
+        peaks = c.max_peaks if kind == "max" else c.min_peaks
+        if len(peaks[0]) == 0:
+            return False
+        i = int(np.argmin(np.abs(peaks[0] - time)))
+        if abs(float(peaks[0][i]) - time) > self.SNAP_THRESHOLD:
+            return False
+        pt = np.delete(peaks[0], i)
+        pv = np.delete(peaks[1], i)
+        if kind == "max":
+            c.max_peaks = (pt, pv)
+        else:
+            c.min_peaks = (pt, pv)
+        return True
+
     # ---- region + peaks --------------------------------------------------
     def set_region(self, start: float, end: float):
         if end <= start:

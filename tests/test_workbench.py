@@ -81,6 +81,37 @@ def test_session_ema_flow(wav_path, tmp_path, rng):
     np.testing.assert_allclose(cv.values[5:-5], approx[5:-5], atol=1e-6)
 
 
+def test_manual_peak_editing(wav_path):
+    """CalculationValues/PointOperation parity: snap-to-nearest add/remove
+    (reference quadruple_axis_plot_item.py:187-328, threshold 0.2 s)."""
+    s = AnalysisSession(wav_path)
+    c = s.add_curve("envelope", panel=0)
+    t_mid = float(c.times[len(c.times) // 2])
+    snapped = s.add_manual_peak("envelope", t_mid + 0.003, kind="max")
+    assert snapped is not None
+    t_snap, v = snapped
+    assert abs(t_snap - t_mid) < 0.011
+    assert len(c.max_peaks[0]) == 1
+    # out-of-range click does nothing
+    assert s.add_manual_peak("envelope", t_mid + 5.0) is None
+    # remove snaps too
+    assert s.remove_manual_peak("envelope", t_snap + 0.05, kind="max")
+    assert len(c.max_peaks[0]) == 0
+    assert not s.remove_manual_peak("envelope", t_mid, kind="max")
+
+
+def test_extract_mfcc_alias():
+    import numpy as np
+
+    import modulation_mfcc_tpu as mm
+
+    y = np.sin(2 * np.pi * 150 * np.arange(12000) / 10_000)
+    t, m = mm.extract_mfcc(y)
+    assert m.shape == (len(t), 13)
+    tot, tt = mm.extract_modulation(y)
+    assert tot.shape == tt.shape
+
+
 def test_session_validation(wav_path):
     s = AnalysisSession(wav_path)
     with pytest.raises(ValueError, match="panel"):
