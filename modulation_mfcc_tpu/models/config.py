@@ -200,6 +200,20 @@ def config_from_reference_json(data: str | dict) -> PipelineConfig:
     )
 
 
+def save_config(cfg: PipelineConfig, path: str) -> str:
+    """Persist in the reference dialog's JSON format (config_dialog.py:574-583
+    save_parameters equivalent)."""
+    with open(path, "w") as f:
+        json.dump(config_to_reference_json(cfg), f, indent=2)
+    return path
+
+
+def load_config(path: str) -> PipelineConfig:
+    """Load a saved analysis config (config_dialog.py:584-590 equivalent)."""
+    with open(path) as f:
+        return config_from_reference_json(json.load(f))
+
+
 def config_to_reference_json(cfg: PipelineConfig) -> dict:
     """Emit the reference's nested-dict schema (lists for cutoff tuples)."""
 

@@ -370,6 +370,23 @@ def extract_mfcc_change(
     return jnp.asarray(tot), t
 
 
+def modulation_spectrum_axes(
+    n_samples: int, cfg: MfccConfig, *, mod_n_fft: int = 128, mod_hop: int = 16
+):
+    """(mod_freqs [n_bins], mod_times [n_modframes]) for modulation_spectrum.
+
+    Modulation frequency resolution is set by the trajectory rate 1/tStep
+    (200 Hz default → bins up to 100 Hz modulation)."""
+    fs_traj = 1.0 / cfg.tStep
+    nf = n_frames_centered(n_samples, cfg.n_fft, cfg.hop_length)
+    n_mod = 1 + nf // mod_hop
+    freqs = np.linspace(0.0, fs_traj / 2.0, 1 + mod_n_fft // 2)
+    times = frame_times_mfcc(nf, cfg.tStep, cfg.winLen)[
+        np.minimum(np.arange(n_mod) * mod_hop, nf - 1)
+    ]
+    return freqs, times
+
+
 def modulation_spectrum(
     y: jnp.ndarray,
     cfg: MfccConfig,

@@ -105,9 +105,7 @@ def run_verify(args) -> int:
 
     from modulation_mfcc_tpu.models.config import MfccConfig
     from modulation_mfcc_tpu.models.modulation import extract_mfcc_change
-
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
-    from tests.reference_impl import get_mfccs_change_np
+    from modulation_mfcc_tpu.oracle import get_mfccs_change_np
 
     if args.wav:
         from modulation_mfcc_tpu.io.wav import load_channel
