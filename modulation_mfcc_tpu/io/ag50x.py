@@ -14,7 +14,7 @@ interp1d(fill_value='extrapolate').
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -21,11 +21,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from modulation_mfcc_tpu.models.config import (
-    AmplitudeConfig,
     DerivationConfig,
-    F0Config,
     FormantConfig,
-    MfccConfig,
     PipelineConfig,
 )
 

@@ -21,7 +21,7 @@ error term for the reference's 12 Hz low-pass on short trajectories
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import scipy.signal as _sps

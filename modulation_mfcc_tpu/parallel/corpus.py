@@ -21,15 +21,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from functools import partial
 
 import jax
 
 from modulation_mfcc_tpu.models.config import MfccConfig
 from modulation_mfcc_tpu.models.modulation import change_times, min_frames_for_fir
-from modulation_mfcc_tpu.parallel.batch import AudioBatch, batched_mfcc_change, pad_batch
+from modulation_mfcc_tpu.parallel.batch import AudioBatch, batched_mfcc_change
 from modulation_mfcc_tpu.parallel.prefetch import background_iter, prefetch_to_device
 from modulation_mfcc_tpu.utils.obs import ThroughputMeter, log_event
 

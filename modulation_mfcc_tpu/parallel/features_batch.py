@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from modulation_mfcc_tpu.models.config import AmplitudeConfig, F0Config, FormantConfig
-from modulation_mfcc_tpu.ops.intensity import intensity_db
 from modulation_mfcc_tpu.ops.lpc import lpc_formants
 from modulation_mfcc_tpu.ops.pitch import pitch_ac
 from modulation_mfcc_tpu.parallel.batch import AudioBatch

@@ -36,7 +36,7 @@ from modulation_mfcc_tpu.models.config import MfccConfig
 from modulation_mfcc_tpu.ops import filters as F
 from modulation_mfcc_tpu.ops.derivatives import np_gradient
 from modulation_mfcc_tpu.ops.savgol import savgol_filter_jax
-from modulation_mfcc_tpu.ops.spectral import mfcc_from_frames, melspectrogram, dct_matrix
+from modulation_mfcc_tpu.ops.spectral import dct_matrix, melspectrogram
 
 __all__ = [
     "chunked_mfcc_trajectories",

@@ -21,7 +21,7 @@ def run_extract(args) -> int:
     """Extract the requested feature tracks from each WAV → long-format CSV
     (file, feature, time, value) — the reference's CSV-export capability
     (script/main.py:1409-1544) in batch form."""
-    from modulation_mfcc_tpu.io.wav import load_channel, read_wav
+    from modulation_mfcc_tpu.io.wav import load_channel
     from modulation_mfcc_tpu.models import pipeline as pl
 
     cfg = _load_pipeline_config(args.config)
@@ -101,8 +101,6 @@ def run_plot(args) -> int:
 
 def run_verify(args) -> int:
     """Parity harness: JAX pipeline vs the float64 numpy/scipy oracle."""
-    import jax.numpy as jnp
-
     from modulation_mfcc_tpu.models.config import MfccConfig
     from modulation_mfcc_tpu.models.modulation import extract_mfcc_change
     from modulation_mfcc_tpu.oracle import get_mfccs_change_np
