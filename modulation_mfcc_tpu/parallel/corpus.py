@@ -179,9 +179,21 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
         return run_batch(samples_d, lengths_d, fir_ok)
 
     def extra_features(samples_d, lengths_d):
-        """Batched f0/envelope tracks for the same bucket."""
+        """Batched f0/envelope/mfcc39 tracks for the same bucket."""
         out = {}
         ab = AudioBatch(samples_d, lengths_d)
+        if "mfcc39" in sweep.features:
+            # MFCC + delta + delta-delta, CMVN'd (BASELINE.json config #2)
+            from modulation_mfcc_tpu.models.features import mfcc_with_deltas
+            from modulation_mfcc_tpu.models.modulation import mfcc_trajectories
+            from modulation_mfcc_tpu.parallel.batch import frame_validity_mask
+
+            mask = frame_validity_mask(lengths_d, samples_d.shape[-1], sweep.cfg)
+            m = mfcc_trajectories(
+                samples_d, sweep.cfg, frame_mask=mask, spectrum=sweep.spectrum
+            )
+            feats = mfcc_with_deltas(m, frame_mask=mask, normalize=True)
+            out["mfcc39"] = (np.asarray(feats), np.asarray(mask), sweep.cfg.tStep)
         if "f0" in sweep.features:
             from modulation_mfcc_tpu.models.config import F0Config
             from modulation_mfcc_tpu.parallel.features_batch import batched_f0
