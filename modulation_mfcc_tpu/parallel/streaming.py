@@ -173,20 +173,27 @@ def sharded_longform_mfcc_change(y: jnp.ndarray, cfg: MfccConfig, mesh) -> jnp.n
     shard_len = t // n_t
     if t % n_t:
         raise ValueError(f"signal length {t} must divide the time axis {n_t}")
-    halo = (fps - 1) * hop + n_fft  # worst-case span of one shard's frames
+    # Exact static halo: the right overhang of a shard's frame windows grows
+    # with shard index (frame ownership is by frame count, sample ownership
+    # by sample count), maximal at the last shard. Only this slice — not the
+    # whole neighbor shard — rides the ICI ppermute.
+    max_off = (n_t - 1) * (fps * hop - shard_len)  # worst first-window drift
+    halo_r = max(0, max_off + (fps - 1) * hop + n_fft - shard_len)
+    halo_r = min(max(halo_r, hop), shard_len)
 
     def local_frames(shard, shard_id):
         # global sample start of this shard's first frame window
         # frame f starts at f*hop - pad in signal coords
         first_frame = shard_id * fps
-        # bring in right neighbor samples to cover the last frame's window
+        # bring in neighbor halos: the next shard's head covers our last
+        # frame windows; the previous shard's tail covers the centered pad
         nbr = jax.lax.ppermute(
-            shard, "time", [(i, (i - 1) % n_t) for i in range(n_t)]
+            shard[..., :halo_r], "time", [(i, (i - 1) % n_t) for i in range(n_t)]
         )
         left_nbr = jax.lax.ppermute(
-            shard, "time", [(i, (i + 1) % n_t) for i in range(n_t)]
+            shard[..., -pad:], "time", [(i, (i + 1) % n_t) for i in range(n_t)]
         )
-        ext = jnp.concatenate([left_nbr[-pad:], shard, nbr], axis=-1)
+        ext = jnp.concatenate([left_nbr, shard, nbr], axis=-1)
         # position of global sample (shard_id*shard_len) in ext is pad
         # frame f (global) needs ext[(f - first... ) ...]
         local_start0 = first_frame * hop - pad  # in signal coords

@@ -129,3 +129,18 @@ def test_extract_envelope_hilb(rng):
     np.testing.assert_allclose(np.asarray(amp)[100:-100], 1.0, atol=1e-2)
     # reference time-axis quirk: arange(n) * hopLen
     np.testing.assert_allclose(t, np.arange(sr) * cfg.hopLen)
+
+
+def test_extract_envelope_rmspraat():
+    """Pitch-adaptive intensity path (reference RMSpraat, mfcc.py:208-240):
+    two-pass pitch quantiles size the window; output in dB."""
+    sr = 10_000
+    t = np.arange(sr) / sr
+    y = 0.5 * sum((0.7 / k) * np.sin(2 * np.pi * k * 150 * t) for k in range(1, 4))
+    amp, tt = extract_envelope(y, sr, AmplitudeConfig(method="RMSpraat"))
+    amp = np.asarray(amp)
+    assert amp.shape == tt.shape
+    # dB scale: a mid-scale tone sits far above the hearing-threshold ref
+    assert 40 < np.median(amp) < 110
+    # min observed pitch ~150 > 120 → hop-rate output (1/hopLen = 100 Hz)
+    assert len(amp) < sr / 50
