@@ -54,14 +54,10 @@ extract_modulation = extract_mfcc_change
 
 
 def extract_mfcc(y, cfg: "MfccConfig" = None, **kw):
-    """(times, mfcc [NF, n_mfcc]) — librosa-semantics MFCC matrix."""
-    import jax.numpy as _jnp
+    """(times, mfcc [NF, n_mfcc]) — librosa-semantics MFCC matrix (jitted,
+    bucket-padded so lengths within a bucket share one compile)."""
+    from modulation_mfcc_tpu.models.modulation import extract_mfcc_matrix
 
-    from modulation_mfcc_tpu.models.modulation import change_times
-
-    cfg = cfg or MfccConfig()
-    y = _jnp.asarray(y, dtype=_jnp.float32)
-    m = mfcc_trajectories(y, cfg, **kw)
-    return change_times(y.shape[-1], cfg), m
+    return extract_mfcc_matrix(y, cfg or MfccConfig(), **kw)
 
 __version__ = "0.1.0"

@@ -370,6 +370,31 @@ def extract_mfcc_change(
     return jnp.asarray(tot), t
 
 
+def extract_mfcc_matrix(
+    y,
+    cfg: MfccConfig = MfccConfig(),
+    *,
+    spectrum: str | None = None,
+    bucket: int = 16_384,
+):
+    """(times, mfcc [NF, n_mfcc]) for one utterance — jitted and
+    bucket-padded like extract_mfcc_change (one compile per bucket)."""
+    from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
+
+    y = jnp.asarray(y, dtype=jnp.float32)
+    if y.ndim != 1:
+        m = _traj_masked_jit(y, None, cfg, True, spectrum)
+        return change_times(y.shape[-1], cfg), m
+    n = y.shape[-1]
+    t_pad = round_up_to_multiple(max(n, cfg.n_fft), bucket)
+    nf_valid = 1 + n // cfg.hop_length
+    nf_pad = n_frames_centered(t_pad, cfg.n_fft, cfg.hop_length)
+    ypad = jnp.pad(y, (0, t_pad - n))[None, :]
+    mask = (jnp.arange(nf_pad) < nf_valid).astype(jnp.float32)[None, :]
+    m = _traj_masked_jit(ypad, mask, cfg, True, spectrum)
+    return change_times(n, cfg), jnp.asarray(np.asarray(m)[0, :nf_valid])
+
+
 def modulation_spectrum_axes(
     n_samples: int, cfg: MfccConfig, *, mod_n_fft: int = 128, mod_hop: int = 16
 ):

@@ -63,13 +63,12 @@ def _mod_cepstr(path: str, cfg: PipelineConfig):
 
 def _mfcc_matrix(path: str, cfg: PipelineConfig):
     from modulation_mfcc_tpu.io.wav import load_channel
-    from modulation_mfcc_tpu.models.modulation import change_times, mfcc_trajectories
+    from modulation_mfcc_tpu.models.modulation import extract_mfcc_matrix
 
     y = load_channel(path, cfg.mfcc.signal_sample_rate)
     if y.ndim > 1:
         y = y[0]
-    m = mfcc_trajectories(jnp.asarray(y, dtype=jnp.float32), cfg.mfcc)
-    return change_times(len(y), cfg.mfcc), m
+    return extract_mfcc_matrix(y, cfg.mfcc)
 
 
 def _envelope(path: str, cfg: PipelineConfig):

@@ -34,8 +34,15 @@ def run_extract(args) -> int:
             except Exception as e:  # per-file isolation: a bad file skips
                 print(f"warning: {path}: {feat}: {e}", file=sys.stderr)
                 continue
-            for ti, vi in zip(np.asarray(t).ravel(), np.asarray(v).ravel()):
-                rows.append((path, feat, float(ti), float(vi)))
+            t = np.asarray(t).ravel()
+            v = np.asarray(v)
+            if v.ndim == 2:  # matrix features (e.g. mfcc): one row per coef
+                for k in range(v.shape[1]):
+                    for ti, vi in zip(t, v[:, k]):
+                        rows.append((path, f"{feat}{k}", float(ti), float(vi)))
+            else:
+                for ti, vi in zip(t, v.ravel()):
+                    rows.append((path, feat, float(ti), float(vi)))
     out = sys.stdout if args.out == "-" else open(args.out, "w", newline="")
     try:
         w = csv.writer(out)
