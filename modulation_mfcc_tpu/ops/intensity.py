@@ -30,7 +30,8 @@ def _geometry(n: int, sr: float, min_pitch: float, time_step: float):
     nw = min(max(nw, 2), n)
     hop = max(1, int(round(time_step * sr)))
     nf = max(1, 1 + (n - nw) // hop)
-    return nw, hop, nf
+    start0 = max(0, (n - nw - (nf - 1) * hop) // 2)  # Praat-centered grid
+    return nw, hop, nf, start0
 
 
 @partial(jax.jit, static_argnames=("sr", "min_pitch", "time_step"))
@@ -39,10 +40,10 @@ def intensity_db(
 ) -> jnp.ndarray:
     """Intensity contour [NF] in dB for 1-D x (interpreted as Pascal)."""
     n = x.shape[-1]
-    nw, hop, nf = _geometry(n, sr, min_pitch, time_step)
+    nw, hop, nf, start0 = _geometry(n, sr, min_pitch, time_step)
     w2 = np.kaiser(nw, 20.0) ** 2
     w2 = w2 / w2.sum()
-    starts = np.arange(nf) * hop
+    starts = start0 + np.arange(nf) * hop
     idx = jnp.asarray(starts[:, None] + np.arange(nw)[None, :])
     frames = x[..., idx]
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
@@ -52,5 +53,5 @@ def intensity_db(
 
 def intensity_times(n: int, sr: float, min_pitch: float, time_step: float) -> np.ndarray:
     """Frame-center times of :func:`intensity_db` (host-side)."""
-    nw, hop, nf = _geometry(n, sr, min_pitch, time_step)
-    return (np.arange(nf) * hop + nw / 2.0) / sr
+    nw, hop, nf, start0 = _geometry(n, sr, min_pitch, time_step)
+    return (start0 + np.arange(nf) * hop + nw / 2.0) / sr

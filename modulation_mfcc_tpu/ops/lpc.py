@@ -88,7 +88,8 @@ def formant_frames(n: int, sr: float, window_length: float, time_step: float):
     nw = min(max(nw, 4), n)
     hop = max(1, int(round(time_step * sr)))
     nf = max(1, 1 + (n - nw) // hop)
-    starts = np.arange(nf) * hop
+    start0 = max(0, (n - nw - (nf - 1) * hop) // 2)  # Praat-centered grid
+    starts = start0 + np.arange(nf) * hop
     times = (starts + nw / 2.0) / sr
     return starts, nw, times
 

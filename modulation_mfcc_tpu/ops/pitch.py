@@ -104,7 +104,11 @@ def pitch_ac(
         raise ValueError("max_pitch/min_pitch incompatible with window length")
     span = nw + (lag_max if method == "cc" else 0)
     nf = max(1, 1 + (n - span) // hop_s)
-    starts = (np.arange(nf) * hop_s).astype(np.int32)
+    # Praat centers the frame grid on the signal midpoint (its t1 places the
+    # leftover samples symmetrically); the published time axis still follows
+    # the reference's arange(nf)*hopSize convention (script/calc.py:560).
+    start0 = max(0, (n - span - (nf - 1) * hop_s) // 2)
+    starts = (start0 + np.arange(nf) * hop_s).astype(np.int32)
     nfft = next_pow2(int(span + lag_max))
 
     # valid_len (traced, optional): true sample count when x is a padded
