@@ -78,7 +78,11 @@ def _envelope(path: str, cfg: PipelineConfig):
     x, sr = read_wav(path)
     if x.ndim > 1:
         x = x[0]
-    amp, t = extract_envelope(x, sr, cfg.amplitude)
+    # reference quirk: its AmplitudeEnvelope source feeds *raw int16* sample
+    # values to the RMS (scipy wavfile.read, script/main.py:844-848), so the
+    # published curve is 2^15 times the normalized-amplitude RMS. Replicated
+    # here so file-based values match the reference app exactly.
+    amp, t = extract_envelope(x * 32768.0, sr, cfg.amplitude)
     return t, amp
 
 

@@ -21,7 +21,7 @@ reference calls.
 from __future__ import annotations
 
 import numpy as np
-from scipy.signal import butter, savgol_filter, sosfiltfilt
+from scipy.signal import butter, filtfilt, firwin, savgol_filter, sosfiltfilt
 
 from modulation_mfcc_tpu.ops.spectral import (
     analysis_window,
@@ -89,6 +89,7 @@ def get_mfccs_change_np(
     out_filter: str | None = "iir",
     out_filt_cutoff=(12.0,),
     out_filt_len: int = 6,
+    out_filt_poly_ord: int = 3,
 ):
     """Oracle for reference get_MFCCS_change (script/mfcc.py:291-427).
 
@@ -126,6 +127,12 @@ def get_mfccs_change_np(
         w = np.asarray(out_filt_cutoff) / ((1.0 / t_step) / 2.0)
         sos2 = butter(out_filt_len, w if len(w) > 1 else w[0], btype="low", output="sos")
         tot = sosfiltfilt(sos2, tot)
+    elif out_filter == "fir":
+        w = np.asarray(out_filt_cutoff) / ((1.0 / t_step) / 2.0)
+        b = firwin(out_filt_len, w if len(w) > 1 else w[0], window=("kaiser", 7.4), pass_zero="lowpass")
+        tot = filtfilt(b, 1.0, tot)
+    elif out_filter == "sg":
+        tot = savgol_filter(tot, out_filt_len, out_filt_poly_ord, deriv=0, mode="interp")
     else:
         raise NotImplementedError(out_filter)
     return tot, t
