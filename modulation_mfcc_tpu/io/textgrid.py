@@ -70,6 +70,11 @@ class PointTier:
     def remove(self, time: float) -> None:
         self.points = [p for p in self.points if p != Point(time)]
 
+    def move(self, time: float, new_time: float) -> None:
+        """Move a point (draggable point-tier markers), keeping time order."""
+        self.remove(time)
+        self.add(new_time)
+
 
 @dataclass
 class IntervalTier:
@@ -88,6 +93,30 @@ class IntervalTier:
                 )
         self.intervals.append(new)
         self.intervals.sort(key=lambda i: i.start)
+
+    MIN_DURATION = 0.01  # the reference widgets' minimal interval span
+
+    def move_boundary(self, index: int, new_time: float, *, min_duration: float | None = None) -> float:
+        """Move the boundary between intervals ``index`` and ``index+1``,
+        clamped so neither interval shrinks below ``min_duration`` — the
+        programmatic equivalent of the reference's draggable tier boundaries
+        (praat_py_ui/tiers.py min-interval clamping). Returns the applied time."""
+        if not (0 <= index < len(self.intervals) - 1):
+            raise IndexError(f"no boundary after interval {index}")
+        md = self.MIN_DURATION if min_duration is None else min_duration
+        left, right = self.intervals[index], self.intervals[index + 1]
+        lo = left.start + md
+        hi = right.end - md
+        if hi < lo:
+            raise ValueError("intervals too short to move this boundary")
+        t = min(max(new_time, lo), hi)
+        left.end = t
+        right.start = t
+        return t
+
+    def relabel(self, index: int, text: str) -> None:
+        """Edit an interval's label (the widgets' keyboard editing)."""
+        self.intervals[index].text = text
 
     def label_at(self, t: float) -> str:
         """Label of the interval containing t ('' if none) — the per-sample

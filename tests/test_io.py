@@ -163,3 +163,28 @@ def test_csv_export_full(tmp_path):
     aggs = interval_aggregations([c], tg.get_tier("words"))
     assert [a[0] for a in aggs] == ["hello", "world"]
     assert abs(aggs[0][3] - 0.5) < 1e-9
+
+
+def test_tier_boundary_editing():
+    """Programmatic tier editing: boundary move with min-duration clamping
+    + relabel (the reference's editable tier widgets, praat_py_ui/tiers.py)."""
+    it = IntervalTier(name="w", xmax=2.0)
+    it.add(0.0, 0.5, "a")
+    it.add(0.5, 1.0, "b")
+    it.add(1.0, 2.0, "c")
+    # normal move
+    t = it.move_boundary(0, 0.7)
+    assert t == 0.7 and it.intervals[0].end == 0.7 and it.intervals[1].start == 0.7
+    # clamped: can't shrink 'b' below min duration
+    t = it.move_boundary(0, 0.999)
+    assert t == pytest.approx(1.0 - it.MIN_DURATION)
+    with pytest.raises(IndexError):
+        it.move_boundary(2, 1.5)
+    it.relabel(1, "B")
+    assert it.intervals[1].text == "B"
+    # point move keeps order
+    pt = PointTier(name="p")
+    pt.add(0.3, "x")
+    pt.add(0.6, "y")
+    pt.move(0.3, 0.9)
+    assert [round(p.time, 4) for p in pt.points] == [0.6, 0.9]
