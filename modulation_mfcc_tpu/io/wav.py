@@ -31,6 +31,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
         fmt = None
+        fmt_payload = b""
         data = None
         while True:
             hdr = f.read(8)
@@ -40,13 +41,20 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             payload = f.read(csize + (csize & 1))
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload
             elif cid == b"data":
                 data = payload[:csize]
         if fmt is None or data is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_ch, sr, _brate, _align, bits = fmt
-    if audio_format == 0xFFFE and bits in (16, 24, 32):
-        audio_format = 1  # WAVE_FORMAT_EXTENSIBLE PCM
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        # bytes of the SubFormat GUID at fmt offset 24 (1=PCM, 3=float) —
+        # same as the native loader (native/modmfcc_io.cpp decode_wav).
+        if len(fmt_payload) >= 26:
+            audio_format = struct.unpack("<H", fmt_payload[24:26])[0]
+        else:
+            audio_format = 1
     if audio_format == 1:  # PCM
         if bits == 16:
             x = np.frombuffer(data, "<i2").astype(np.float32) / 2**15
@@ -98,8 +106,15 @@ def resample(x: np.ndarray, orig_sr: float, target_sr: float) -> np.ndarray:
 
 
 def load_channel(path: str, signal_sample_rate: float = 10_000, channel_nb: int = 0):
-    """Reference load_channel semantics (script/mfcc.py:262-289): decode,
-    resample to the analysis rate, keep the channel layout (mono returns 1-D,
-    multichannel returns [channels, n])."""
+    """Decode, resample to the analysis rate, and select a channel.
+
+    The reference's load_channel (script/mfcc.py:262-289) returns all
+    channels (its selection is commented out) and get_MFCCS_change then
+    picks ``y = myAudio[channelN, :]`` (script/mfcc.py:377-380); this
+    function folds that selection in — mono input returns 1-D unchanged,
+    multichannel input returns the chosen channel as 1-D."""
     x, sr = read_wav(path)
-    return resample(x.astype(np.float64), sr, signal_sample_rate)
+    y = resample(x.astype(np.float64), sr, signal_sample_rate)
+    if y.ndim > 1:
+        y = y[channel_nb]
+    return y

@@ -22,6 +22,7 @@ __all__ = [
     "F0Config",
     "EmaConfig",
     "DerivationConfig",
+    "SectionMeta",
     "PipelineConfig",
     "config_from_reference_json",
     "config_to_reference_json",
@@ -50,11 +51,25 @@ class DerivationConfig:
 
 
 @dataclass(frozen=True)
+class SectionMeta:
+    """Dialog-row metadata of one config section: the ``enabled``/``name``/
+    ``panel`` keys plus the per-section derivation settings every section of
+    the reference JSON carries (config_dialog.py:604-725). Kept separate from
+    the DSP configs so those stay minimal jit-static keys."""
+
+    enabled: bool = True
+    name: str = ""
+    panel: int = 0
+    derivation: DerivationConfig = field(default_factory=DerivationConfig)
+
+
+@dataclass(frozen=True)
 class MfccConfig:
     """Parameters of get_MFCCS_change (reference script/mfcc.py:291-310 defaults,
     overridden by the GUI to the values of script/main.py:732-748)."""
 
     signal_sample_rate: int = 10_000
+    channelN: int = 0  # multichannel selection (script/mfcc.py:295, :377-380)
     tStep: float = 0.005
     winLen: float = 0.025
     n_mfcc: int = 13
@@ -151,6 +166,11 @@ class EmaConfig:
     target_sample_rate: int = 200
 
 
+#: sections carrying SectionMeta (the reference's ema section has only the
+#: derivative keys — no enabled/name/panel/derivation_type).
+_META_SECTIONS = ("mfcc", "amplitude", "formant1", "formant2", "formant3", "f0", "ema")
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     """A full analysis configuration = one saved config-dialog JSON."""
@@ -162,10 +182,37 @@ class PipelineConfig:
     formant3: FormantConfig = field(default_factory=FormantConfig)
     f0: F0Config = field(default_factory=F0Config)
     ema: EmaConfig = field(default_factory=EmaConfig)
+    mfcc_meta: SectionMeta = field(default_factory=SectionMeta)
+    amplitude_meta: SectionMeta = field(default_factory=SectionMeta)
+    formant1_meta: SectionMeta = field(default_factory=SectionMeta)
+    formant2_meta: SectionMeta = field(default_factory=SectionMeta)
+    formant3_meta: SectionMeta = field(default_factory=SectionMeta)
+    f0_meta: SectionMeta = field(default_factory=SectionMeta)
+    ema_meta: SectionMeta = field(default_factory=SectionMeta)
+
+    def meta_for(self, section: str) -> SectionMeta:
+        """SectionMeta of a config section ('mfcc', 'amplitude', ...)."""
+        if section not in _META_SECTIONS:
+            raise ValueError(f"Unknown config section {section!r}")
+        return getattr(self, f"{section}_meta")
 
 
-_SKIP_KEYS = {"enabled", "name", "panel", "derivation_type", "derivative_method",
-              "sg_width", "fin_diff_acc_order", "sg_poly_order"}
+_DERIV_KEYS = {"derivative_method", "sg_width", "fin_diff_acc_order", "sg_poly_order"}
+_SKIP_KEYS = {"enabled", "name", "panel", "derivation_type"} | _DERIV_KEYS
+
+
+def _section_to_meta(section: dict) -> SectionMeta:
+    """Per-section derivation/dialog keys → SectionMeta (the keys the DSP
+    dataclasses skip; dropping them used to lose the saved derivation)."""
+    dkw = {k: section[k] for k in _DERIV_KEYS if k in section}
+    if "derivation_type" in section:
+        dkw["derivation_type"] = int(section["derivation_type"])
+    return SectionMeta(
+        enabled=bool(section.get("enabled", True)),
+        name=str(section.get("name", "")),
+        panel=int(section.get("panel", 0)),
+        derivation=DerivationConfig(**dkw),
+    )
 
 
 def _section_to_config(cls, section: dict, extra_map: dict[str, str] | None = None):
@@ -196,6 +243,9 @@ def config_from_reference_json(data: str | dict) -> PipelineConfig:
         formant3=_section_to_config(FormantConfig, data.get("formant3", {})),
         f0=_section_to_config(F0Config, data.get("f0", {})),
         ema=_section_to_config(EmaConfig, data.get("ema", {})),
+        **{
+            f"{s}_meta": _section_to_meta(data.get(s, {})) for s in _META_SECTIONS
+        },
     )
 
 
@@ -214,18 +264,26 @@ def load_config(path: str) -> PipelineConfig:
 
 
 def config_to_reference_json(cfg: PipelineConfig) -> dict:
-    """Emit the reference's nested-dict schema (lists for cutoff tuples)."""
+    """Emit the reference's nested-dict schema (lists for cutoff tuples),
+    including each section's enabled/name/panel + derivation keys
+    (config_dialog.py:604-725). The ema section carries only the derivative
+    keys, matching the reference's dialog output."""
 
     def conv(obj):
         d = dataclasses.asdict(obj)
         return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
 
-    return {
-        "mfcc": conv(cfg.mfcc),
-        "amplitude": conv(cfg.amplitude),
-        "formant1": conv(cfg.formant1),
-        "formant2": conv(cfg.formant2),
-        "formant3": conv(cfg.formant3),
-        "f0": conv(cfg.f0),
-        "ema": conv(cfg.ema),
-    }
+    def meta_keys(meta: SectionMeta, *, ema: bool = False) -> dict:
+        d = dataclasses.asdict(meta.derivation)
+        if ema:
+            d.pop("derivation_type")
+            return d
+        return {"enabled": meta.enabled, "name": meta.name, "panel": meta.panel, **d}
+
+    out = {}
+    for s in _META_SECTIONS:
+        out[s] = {
+            **conv(getattr(cfg, s)),
+            **meta_keys(cfg.meta_for(s), ema=(s == "ema")),
+        }
+    return out

@@ -26,7 +26,13 @@ from modulation_mfcc_tpu.models.config import (
     PipelineConfig,
 )
 
-__all__ = ["extract_feature", "apply_derivation", "FEATURES"]
+__all__ = [
+    "extract_feature",
+    "apply_derivation",
+    "resolve_derivation",
+    "FEATURES",
+    "SECTION_OF_FEATURE",
+]
 
 
 def apply_derivation(
@@ -54,9 +60,7 @@ def _mod_cepstr(path: str, cfg: PipelineConfig):
     from modulation_mfcc_tpu.io.wav import load_channel
     from modulation_mfcc_tpu.models.modulation import extract_mfcc_change
 
-    y = load_channel(path, cfg.mfcc.signal_sample_rate)
-    if y.ndim > 1:
-        y = y[0]
+    y = load_channel(path, cfg.mfcc.signal_sample_rate, cfg.mfcc.channelN)
     v, t = extract_mfcc_change(y, cfg.mfcc)
     return t, v
 
@@ -65,9 +69,7 @@ def _mfcc_matrix(path: str, cfg: PipelineConfig):
     from modulation_mfcc_tpu.io.wav import load_channel
     from modulation_mfcc_tpu.models.modulation import extract_mfcc_matrix
 
-    y = load_channel(path, cfg.mfcc.signal_sample_rate)
-    if y.ndim > 1:
-        y = y[0]
+    y = load_channel(path, cfg.mfcc.signal_sample_rate, cfg.mfcc.channelN)
     return extract_mfcc_matrix(y, cfg.mfcc)
 
 
@@ -132,20 +134,58 @@ FEATURES: dict[str, Callable] = {
     "soundwave": _soundwave,
 }
 
+#: which config section supplies each feature's dialog metadata (derivation
+#: settings etc.); None = no configurable derivation row in the reference.
+SECTION_OF_FEATURE: dict[str, str | None] = {
+    "mod_cepstr": "mfcc",
+    "mfcc": "mfcc",
+    "envelope": "amplitude",
+    "f0": "f0",
+    "formant1": "formant1",
+    "formant2": "formant2",
+    "formant3": "formant3",
+    "soundwave": None,
+    "ema": "ema",
+    "custom": None,
+}
+
+
+def resolve_derivation(
+    feature: str,
+    cfg: PipelineConfig,
+    derivation: int | None,
+    dcfg: DerivationConfig | None,
+) -> tuple[int, DerivationConfig]:
+    """Fill unset derivation arguments from the feature's config section —
+    a JSON saved with e.g. "F0 velocity, sg" must actually produce the
+    derived curve (reference config_dialog.py:692-725)."""
+    section = SECTION_OF_FEATURE.get(feature)
+    meta = cfg.meta_for(section) if section else None
+    if dcfg is None:
+        dcfg = meta.derivation if meta else DerivationConfig()
+    if derivation is None:
+        derivation = dcfg.derivation_type
+    return derivation, dcfg
+
 
 def extract_feature(
     path: str,
     feature: str,
     cfg: PipelineConfig = PipelineConfig(),
     *,
-    derivation: int = 0,
-    dcfg: DerivationConfig = DerivationConfig(),
+    derivation: int | None = None,
+    dcfg: DerivationConfig | None = None,
 ):
     """(times, values) for a named feature of one audio file — the functional
-    CurveGenerator.generate (script/main.py:929-957)."""
+    CurveGenerator.generate (script/main.py:929-957).
+
+    ``derivation``/``dcfg`` default to the feature's section settings in
+    ``cfg`` (the saved dialog state); pass them explicitly to override.
+    """
     try:
         src = FEATURES[feature]
     except KeyError:
         raise ValueError(f"Unknown feature {feature!r}; available: {sorted(FEATURES)}")
+    derivation, dcfg = resolve_derivation(feature, cfg, derivation, dcfg)
     t, v = src(path, cfg)
     return apply_derivation(t, v, derivation, dcfg)

@@ -3,8 +3,9 @@
 Reference flow (script/mfcc.py:208-240): estimate pitch with a wide range
 (50-700 Hz), take the 25/75 % quantiles of voiced frames, re-estimate with
 [0.75·q25, 2.5·q75], then compute Praat intensity with a window sized by the
-observed minimum pitch — or, if that minimum is ≤ 120 Hz, with minPitch=120
-at sample-rate time resolution.
+minimum of the raw second-pass track (unvoiced frames count as 0 Hz) — or,
+if that minimum is ≤ 120 Hz (i.e. whenever any frame is unvoiced), with
+minPitch=120 at sample-rate time resolution.
 """
 from __future__ import annotations
 
@@ -25,15 +26,17 @@ def praat_style_intensity(x: jnp.ndarray, sr: float, *, hop: float = 0.01):
     voiced = f0[f0 > 20]
     if voiced.size:
         q = np.quantile(voiced, [0.25, 0.75])
-        lo, hi = round(0.75 * float(q[0]), 1), round(2.5 * float(q[1]), 1)
+        lo, hi = 0.75 * float(q[0]), 2.5 * float(q[1])
         if hi > lo > 0:
             f0 = np.asarray(
                 pitch_ac(x, sr=float(sr), hop=hop, min_pitch=lo, max_pitch=hi)
             )
-    voiced = f0[f0 > 20]
-    min_obs = float(voiced.min()) if voiced.size else 0.0
+    # Reference (script/mfcc.py:227) takes np.min over the RAW second-pass
+    # track — unvoiced frames are 0 Hz, so any unvoiced frame forces the
+    # (120, 1/sr) dense-intensity branch. Do NOT restrict to voiced frames.
+    min_obs = float(f0.min()) if f0.size else 0.0
     if min_obs > 120.0:
-        amp = intensity_db(x, sr=float(sr), min_pitch=round(min_obs, 1), time_step=hop)
+        amp = intensity_db(x, sr=float(sr), min_pitch=min_obs, time_step=hop)
         rate = 1.0 / hop
     else:
         amp = intensity_db(x, sr=float(sr), min_pitch=120.0, time_step=1.0 / float(sr))

@@ -80,14 +80,22 @@ class AnalysisSession:
         feature: str,
         *,
         panel: int = 0,
-        derivation: int = 0,
+        derivation: int | None = None,
         name: str | None = None,
         color: str | None = None,
+        dcfg: DerivationConfig | None = None,
     ) -> _Curve:
-        """Compute + register a standard feature curve (dashboard row)."""
+        """Compute + register a standard feature curve (dashboard row).
+
+        ``derivation``/``dcfg`` default to the feature's saved section
+        settings in the session config (e.g. a JSON with "F0 velocity, sg"
+        yields the sg-derived velocity curve without extra arguments)."""
         self._check_panel(panel)
+        from modulation_mfcc_tpu.models.pipeline import resolve_derivation
+
+        derivation, dcfg = resolve_derivation(feature, self.config, derivation, dcfg)
         t, v = extract_feature(
-            self.audio_path, feature, self.config, derivation=derivation
+            self.audio_path, feature, self.config, derivation=derivation, dcfg=dcfg
         )
         cname = name or (feature + ("", "_vel", "_acc")[derivation])
         curve = _Curve(cname, feature, panel, np.asarray(t), np.asarray(v), derivation, color)
@@ -112,7 +120,8 @@ class AnalysisSession:
             raise RuntimeError("No .pos file loaded; call load_pos() first")
         self._check_panel(panel)
         t, v = self.ema.channel(channel, dim)
-        t, v = apply_derivation(t, np.asarray(v), derivation, dcfg or DerivationConfig())
+        dcfg = dcfg or self.config.meta_for("ema").derivation
+        t, v = apply_derivation(t, np.asarray(v), derivation, dcfg)
         cname = name or f"ch{channel}_{dim}" + ("", "_vel", "_acc")[derivation]
         curve = _Curve(cname, "ema", panel, np.asarray(t), np.asarray(v), derivation)
         self.curves[cname] = curve

@@ -48,7 +48,7 @@ _TAIL_ROWS = 16  # >= ceil(n_fft/hop) for all supported configs; 8-multiple
 
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, n_fft: int, lane: int, bins_pad: int,
-            compute_dtype, out_dtype, frame_mode: str = "concat"):
+            nf: int, compute_dtype, out_dtype, frame_mode: str = "concat"):
     n_shift = -(-n_fft // hop)
     # stage the pipelined blocks into one contiguous scratch so the shifted
     # slices below share a base layout (Mosaic cannot concat views of a
@@ -84,7 +84,13 @@ def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
         precision=prec,
     )
     out_ref[0] = mel.astype(out_dtype)
-    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel), dtype=jnp.float32)
+    # Block max over VALID frames only (global frame index < nf, nf static).
+    # Frames just past nf still window real tail samples (frame i starts at
+    # i*hop - pad < t while i < nf + pad/hop), so an unmasked max could let
+    # a tail transient raise the whole utterance's top_db clip floor.
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + pl.program_id(1) * blkf
+    mel_valid = jnp.where(rowid < nf, mel, 0.0)
+    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
 
 
 def fused_mel_frontend(
@@ -158,7 +164,7 @@ def fused_mel_frontend(
     cd = compute_dtype
     kern = partial(
         _kernel, blkf=blkf, hop=hop, n_fft=n_fft, lane=lane, bins_pad=bins_pad,
-        compute_dtype=cd, out_dtype=out_dtype, frame_mode=frame_mode,
+        nf=nf, compute_dtype=cd, out_dtype=out_dtype, frame_mode=frame_mode,
     )
     tail_stride = blkf // _TAIL_ROWS
     mel_out, bmax = pl.pallas_call(
@@ -277,8 +283,7 @@ def fused_mfcc(
             jnp.where(fm[..., None] > 0, mel.astype(jnp.float32), 0.0), axis=(1, 2)
         )
     else:
-        # padded frames read zero audio → mel 0 is never the max; block
-        # maxes over the padded tail are safe to include
+        # block maxes are masked to frames < nf inside the kernel
         pmax = jnp.max(bmax, axis=(1, 2, 3))
     peak = 10.0 * jnp.log10(jnp.maximum(pmax, 1e-10))
     out = mfcc_tail(mel, peak, n_mfcc, blkf=blkf)[:, :nf, :]

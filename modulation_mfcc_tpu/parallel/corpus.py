@@ -56,6 +56,25 @@ def _done_path(sweep: CorpusSweep) -> str:
     return os.path.join(sweep.out_dir, "_done.txt")
 
 
+def _output_names(paths: list[str]) -> dict[str, str]:
+    """Collision-free npz name per input path. Plain basenames when unique;
+    duplicate stems (same filename in different directories) get a short
+    path hash so distinct inputs never overwrite each other's records."""
+    import hashlib
+
+    stems: dict[str, int] = {}
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        stems[stem] = stems.get(stem, 0) + 1
+    names = {}
+    for p in paths:
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stems[stem] > 1:
+            stem += "_" + hashlib.sha1(p.encode()).hexdigest()[:8]
+        names[p] = stem + ".npz"
+    return names
+
+
 def _load_done(sweep: CorpusSweep) -> set[str]:
     try:
         with open(_done_path(sweep)) as f:
@@ -139,10 +158,12 @@ def _make_batch(group, t_pad):
 def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     """Run the sweep; returns the throughput report.
 
-    Output: ``<out_dir>/<basename>.npz`` with keys ``times`` and
-    ``mod_cepstr`` per input file, plus ``_done.txt`` for resume.
+    Output: ``<out_dir>/<basename>.npz`` (duplicate basenames get a short
+    path-hash suffix) with keys ``times`` and ``mod_cepstr`` per input file,
+    plus ``_done.txt`` for resume.
     """
     os.makedirs(sweep.out_dir, exist_ok=True)
+    out_names = _output_names(paths)
     done = _load_done(sweep) if sweep.resume else set()
     todo = [p for p in paths if p not in done]
     log_event("corpus.start", files=len(paths), todo=len(todo), resumed=len(paths) - len(todo))
@@ -224,9 +245,7 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             for i, p in enumerate(paths_b):
                 nf = int(mask_np[i].sum())
                 times = change_times(int(lengths[i]), sweep.cfg)[:nf]
-                out = os.path.join(
-                    sweep.out_dir, os.path.splitext(os.path.basename(p))[0] + ".npz"
-                )
+                out = os.path.join(sweep.out_dir, out_names[p])
                 rec = {"times": times, "mod_cepstr": tot[i, :nf]}
                 for name, (vals, valid, hop) in extras.items():
                     nvf = int(valid[i].sum())

@@ -87,6 +87,13 @@ Decoded decode_wav(const char* path) {
     out.error = "missing fmt/data chunk";
     return out;
   }
+  // Validate bits BEFORE computing frame geometry: a malformed fmt chunk
+  // with bits=0 would SIGFPE on the division below, killing the loader
+  // worker (and with it the corpus driver's per-file error isolation).
+  if (bits != 8 && bits != 16 && bits != 24 && bits != 32 && bits != 64) {
+    out.error = "unsupported WAV format";
+    return out;
+  }
   size_t bytes_per = (size_t)bits / 8;
   size_t n_frames = data_len / (bytes_per * (size_t)n_ch);
   out.samples.resize(n_frames);

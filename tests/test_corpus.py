@@ -63,6 +63,26 @@ def test_sweep_multifeature_and_mesh(tmp_path):
     assert rec["envelope"].max() > 0.1
 
 
+def test_sweep_basename_collision(tmp_path):
+    """Same filename in two directories must produce two distinct records —
+    basename keying used to silently overwrite one of them."""
+    sr = 10_000
+    paths = []
+    for sub, freq in (("a", 150.0), ("b", 400.0)):
+        d = tmp_path / sub
+        d.mkdir()
+        t = np.arange(sr) / sr
+        p = str(d / "utt.wav")
+        write_wav(p, 0.6 * np.sin(2 * np.pi * freq * t), sr)
+        paths.append(p)
+    out = tmp_path / "feats"
+    sweep = CorpusSweep(out_dir=str(out), batch_size=2, spectrum="fft")
+    report = sweep_mfcc_change(paths, sweep)
+    assert report["items"] == 2
+    recs = [f for f in os.listdir(out) if f.endswith(".npz")]
+    assert len(recs) == 2, recs
+
+
 def test_sweep_resume_and_isolation(tmp_path):
     paths = _mk_corpus(tmp_path, n=4)
     # corrupt file must be skipped, not abort

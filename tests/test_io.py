@@ -38,6 +38,29 @@ def test_wav_multichannel(tmp_path, rng):
     np.testing.assert_allclose(x, y, atol=1e-3)
 
 
+def test_wav_extensible_float32(tmp_path, rng):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) must read the SubFormat GUID — an
+    extensible float32 file previously decoded as int32 garbage."""
+    import struct
+
+    sr = 8000
+    y = (0.5 * rng.standard_normal(1000)).astype(np.float32)
+    subformat_float = struct.pack("<H", 3) + b"\x00\x00" + b"\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32
+    ) + struct.pack("<HHI", 22, 32, 0x4) + subformat_float
+    data = y.tobytes()
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    p = tmp_path / "ext.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    x, sr2 = read_wav(str(p))
+    assert sr2 == sr
+    np.testing.assert_allclose(x, y, atol=1e-7)
+
+
 def test_resample_preserves_tone(rng):
     sr, target = 44_100, 10_000
     t = np.arange(sr) / sr

@@ -41,6 +41,30 @@ def test_resample_matches_scipy(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_malformed_bits_isolated(tmp_path):
+    """A fmt chunk claiming bits=0 must surface as a per-file error, not a
+    SIGFPE in the worker thread (division by zero in frame geometry)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 0, 0, 0)  # bits=0
+    data = b"\x00" * 64
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    p = tmp_path / "zerobits.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+    with pytest.raises(ValueError):
+        decode_wav_native(str(p))
+    # and through the threaded loader: error isolated, process alive
+    loader = NativeBatchLoader(10_000, n_threads=1)
+    loader.submit(0, str(p))
+    results = dict(iter(loader))
+    loader.close()
+    assert results[0] is None
+
+
 def test_batch_loader(tmp_path, rng):
     target = 10_000
     paths = []
