@@ -157,6 +157,12 @@ class F0Config:
     max_transition_rate: float = 35.92
     switch_prob: float = 0.01
     no_trough_prob: float = 0.01
+    # (script/calc.py:417-419) — fill value for unvoiced frames (None = NaN;
+    # NaN itself would break dataclass equality/hashing for jit caching),
+    # centered framing flag, and pad mode for the centered frames
+    pyinfill_na: float | None = None
+    pyincenter: bool = True
+    pyinpad_mode: str = "constant"
 
 
 @dataclass(frozen=True)

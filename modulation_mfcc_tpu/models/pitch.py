@@ -24,8 +24,16 @@ from modulation_mfcc_tpu.ops.pitch import pitch_ac
 __all__ = ["extract_f0"]
 
 
-def _raw_f0(x: jnp.ndarray, sr: float, cfg: F0Config, min_pitch: float, max_pitch: float):
-    if cfg.method in ("praatac", "praatcc"):
+def _raw_f0(
+    x: jnp.ndarray,
+    sr: float,
+    cfg: F0Config,
+    min_pitch: float,
+    max_pitch: float,
+    method: str | None = None,
+):
+    method = method or cfg.method
+    if method in ("praatac", "praatcc"):
         return pitch_ac(
             x,
             sr=float(sr),
@@ -33,14 +41,15 @@ def _raw_f0(x: jnp.ndarray, sr: float, cfg: F0Config, min_pitch: float, max_pitc
             min_pitch=float(min_pitch),
             max_pitch=float(max_pitch),
             max_cand=cfg.maxCandNum,
-            method="ac" if cfg.method == "praatac" else "cc",
+            method="ac" if method == "praatac" else "cc",
             silence_thresh=cfg.silenceThresh,
             voicing_thresh=cfg.voicingThresh,
             octave_cost=cfg.octaveCost,
             octave_jump_cost=cfg.octaveJumpCost,
             voiced_unvoiced_cost=cfg.voicedUnvoicedCost,
+            very_accurate=bool(cfg.veryAccurate),
         )
-    if cfg.method == "pyin":
+    if method == "pyin":
         from modulation_mfcc_tpu.ops.yin import pyin_f0
 
         return pyin_f0(
@@ -58,8 +67,10 @@ def _raw_f0(x: jnp.ndarray, sr: float, cfg: F0Config, min_pitch: float, max_pitc
             max_transition_rate=cfg.max_transition_rate,
             switch_prob=cfg.switch_prob,
             no_trough_prob=cfg.no_trough_prob,
+            center=cfg.pyincenter,
+            pad_mode=cfg.pyinpad_mode,
         )
-    raise ValueError(f"Unknown f0 method {cfg.method!r}")
+    raise ValueError(f"Unknown f0 method {method!r}")
 
 
 def extract_f0(x, sr: float, cfg: F0Config = F0Config()):
@@ -79,14 +90,24 @@ def extract_f0(x, sr: float, cfg: F0Config = F0Config()):
     f0 = _raw_f0(x, sr, cfg, min_pitch, max_pitch)
     if cfg.minMaxQuant is not None:
         v = np.asarray(f0)
-        v = v[v > 20]
+        # reference quirks: praat filters the first pass by >20 Hz and the
+        # second pass is ALWAYS "To Pitch (ac)" even for method='praatcc'
+        # (script/calc.py:548-556); pyin filters by non-NaN and re-runs pyin
+        # (script/calc.py:571-581)
+        v = v[~np.isnan(v)] if cfg.method == "pyin" else v[v > 20]
         if v.size:
             q = np.quantile(v, [cfg.minMaxQuant[0], cfg.minMaxQuant[1]])
             lo, hi = round(float(q[0]), 1), round(float(q[1]), 1)
             if hi > lo > 0:
-                f0 = _raw_f0(x, sr, cfg, lo, hi)
+                second = "pyin" if cfg.method == "pyin" else "praatac"
+                f0 = _raw_f0(x, sr, cfg, lo, hi, method=second)
     f0 = np.asarray(f0, dtype=np.float64)
-    f0[f0 <= 20] = np.nan  # unvoiced → NaN (script/calc.py:559)
+    if cfg.method == "pyin":
+        # pyin marks unvoiced with fill_na (default NaN, script/calc.py:417)
+        fill = np.nan if cfg.pyinfill_na is None else float(cfg.pyinfill_na)
+        f0[f0 <= 0] = fill
+    else:
+        f0[f0 <= 20] = np.nan  # unvoiced → NaN (script/calc.py:559)
     f0t = np.arange(len(f0)) * cfg.hopSize
     if cfg.interpUnvoiced is not None:
         if np.all(np.isnan(f0)):

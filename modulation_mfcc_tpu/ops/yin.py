@@ -89,6 +89,8 @@ def _boltzmann_pmf(k, lam, n):
         "max_transition_rate",
         "switch_prob",
         "no_trough_prob",
+        "center",
+        "pad_mode",
     ),
 )
 def pyin_f0(
@@ -107,15 +109,26 @@ def pyin_f0(
     max_transition_rate: float = 35.92,
     switch_prob: float = 0.01,
     no_trough_prob: float = 0.01,
+    center: bool = True,
+    pad_mode: str = "constant",
 ) -> jnp.ndarray:
-    """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN)."""
+    """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN).
+
+    ``center``/``pad_mode`` follow librosa.pyin (reference passes
+    pyincenter/pyinpad_mode through, script/calc.py:418-419): centered
+    framing pads frame_length//2 on each side with the given numpy pad mode.
+    """
     if win_length is None:
         win_length = frame_length // 2
     hop_length = max(1, int(round(hop * sr)))
     n = x.shape[-1]
-    pad = frame_length // 2
-    xp = jnp.pad(x, (pad, pad))
-    nf = 1 + n // hop_length
+    if center:
+        pad = frame_length // 2
+        xp = jnp.pad(x, (pad, pad), mode=pad_mode)
+        nf = 1 + n // hop_length
+    else:
+        xp = x
+        nf = max(1, 1 + (n - frame_length) // hop_length)
     starts = np.arange(nf) * hop_length
     idx = jnp.asarray(starts[:, None] + np.arange(frame_length)[None, :])
     frames = xp[idx]

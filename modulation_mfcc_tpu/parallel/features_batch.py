@@ -52,6 +52,7 @@ def _f0_impl(samples, lengths, sr, cfg: F0Config):
             octave_cost=cfg.octaveCost,
             octave_jump_cost=cfg.octaveJumpCost,
             voiced_unvoiced_cost=cfg.voicedUnvoicedCost,
+            very_accurate=bool(cfg.veryAccurate),
         )
     )(samples, lengths)
 
@@ -65,7 +66,7 @@ def batched_f0(batch: AudioBatch, sr: float, cfg: F0Config = F0Config()):
     f0 = _f0_impl(batch.samples, batch.lengths, float(sr), cfg)
     nf = f0.shape[-1]
     hop_s = max(1, int(round(cfg.hopSize * sr)))
-    periods = 3.0 if cfg.method == "praatac" else 1.0
+    periods = (6.0 if cfg.veryAccurate else 3.0) if cfg.method == "praatac" else 1.0
     nw = int(round(periods / cfg.minPitch * sr))
     span = nw if cfg.method == "praatac" else nw + int(np.ceil(sr / cfg.minPitch))
     # frames whose analysis span lies fully inside the utterance

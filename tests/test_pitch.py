@@ -108,6 +108,84 @@ def test_extract_f0_quantile_two_pass():
     assert abs(np.median(v) - 200.0) < 3.0
 
 
+def test_pitch_sinc_refinement_precision():
+    """Sinc lag refinement should land a stationary tone's f0 within a
+    fraction of a Hz (the parabolic-only refinement sat a few tenths off)."""
+    y = harmonic(151.3)
+    f0 = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR))
+    v = f0[f0 > 0]
+    assert abs(np.median(v) - 151.3) < 0.3
+
+
+def test_pitch_very_accurate():
+    """veryAccurate doubles the ac window (Gaussian) and deepens the sinc
+    refinement (Praat To Pitch veryAccurate, script/calc.py:545-546)."""
+    y = harmonic(140.0)
+    f_norm = np.asarray(pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR))
+    f_acc = np.asarray(
+        pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=SR, very_accurate=True)
+    )
+    # doubled window (6 periods vs 3) → fewer frames
+    assert len(f_acc) < len(f_norm)
+    v = f_acc[f_acc > 0]
+    assert len(v) > 0.9 * len(f_acc)
+    assert abs(np.median(v) - 140.0) < 0.3
+
+
+def test_very_accurate_consumed_by_config():
+    """F0Config.veryAccurate must reach the tracker (was a silent no-op)."""
+    y = harmonic(140.0)
+    f_n, _ = extract_f0(y, SR, F0Config(outFilter=None, interpUnvoiced=None))
+    f_a, _ = extract_f0(
+        y, SR, F0Config(outFilter=None, interpUnvoiced=None, veryAccurate=True)
+    )
+    assert len(f_a) < len(f_n)  # the doubled window changed the analysis
+
+
+def test_quantile_second_pass_always_ac(monkeypatch):
+    """Reference quirk: the minMaxQuant re-pass calls "To Pitch (ac)" even
+    for method='praatcc' (script/calc.py:555)."""
+    from modulation_mfcc_tpu.models import pitch as mp
+
+    calls = []
+    orig = mp._raw_f0
+
+    def spy(x, sr, cfg, lo, hi, method=None):
+        calls.append(method or cfg.method)
+        return orig(x, sr, cfg, lo, hi, method)
+
+    monkeypatch.setattr(mp, "_raw_f0", spy)
+    t = np.arange(SR) / SR
+    y = harmonic(160.0 + 80.0 * t)  # glide → distinct quantiles
+    cfg = F0Config(
+        method="praatcc", minMaxQuant=(0.05, 0.95), outFilter=None,
+        interpUnvoiced="linear",
+    )
+    f0, _ = extract_f0(y, SR, cfg)
+    assert calls == ["praatcc", "praatac"]
+    v = f0[np.isfinite(f0)]
+    assert 150.0 < np.median(v) < 250.0
+
+
+def test_pyin_fill_na_and_center():
+    """pyinfill_na/pyincenter are consumed (script/calc.py:417-419)."""
+    y = np.concatenate([np.zeros(3000), harmonic(170.0, dur=0.5), np.zeros(3000)])
+    cfg0 = F0Config(method="pyin", outFilter=None, interpUnvoiced=None)
+    f_nan, _ = extract_f0(y, SR, cfg0)
+    assert np.isnan(f_nan).any()  # default fill is NaN
+    cfg1 = F0Config(
+        method="pyin", outFilter=None, interpUnvoiced=None, pyinfill_na=0.0
+    )
+    f_zero, _ = extract_f0(y, SR, cfg1)
+    assert not np.isnan(f_zero).any()
+    assert (f_zero == 0.0).any()
+    cfg2 = F0Config(
+        method="pyin", outFilter=None, interpUnvoiced=None, pyincenter=False
+    )
+    f_nc, _ = extract_f0(y, SR, cfg2)
+    assert len(f_nc) < len(f_nan)  # uncentered framing drops edge frames
+
+
 def test_intensity_db_scale():
     # full-scale 1 kHz sine: mean square 0.5 → 10*log10(0.5/4e-10) ≈ 90.97 dB
     t = np.arange(SR) / SR

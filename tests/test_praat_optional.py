@@ -41,6 +41,37 @@ def test_f0_vs_praat_ac():
     assert abs(len(pv) / len(praat_f0) - len(ov) / len(ours)) < 0.15
 
 
+def test_f0_vs_praat_ac_very_accurate():
+    from parselmouth.praat import call
+
+    y = _speech()
+    snd = parselmouth.Sound(values=y, sampling_frequency=SR, start_time=0.0)
+    pobj = call(snd, "To Pitch (ac)", 0.01, 75, 15, True, 0.03, 0.45, 0.01, 0.35, 0.14, 600)
+    praat_f0 = pobj.selected_array["frequency"]
+    ours = np.asarray(
+        pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=float(SR), very_accurate=True)
+    )
+    pv = praat_f0[praat_f0 > 20]
+    ov = ours[ours > 0]
+    assert abs(np.median(pv) - np.median(ov)) < 2.0
+    assert abs(len(pv) / len(praat_f0) - len(ov) / len(ours)) < 0.15
+
+
+def test_f0_vs_praat_cc():
+    from parselmouth.praat import call
+
+    y = _speech()
+    snd = parselmouth.Sound(values=y, sampling_frequency=SR, start_time=0.0)
+    pobj = call(snd, "To Pitch (cc)", 0.01, 75, 15, False, 0.03, 0.45, 0.01, 0.35, 0.14, 600)
+    praat_f0 = pobj.selected_array["frequency"]
+    ours = np.asarray(
+        pitch_ac(jnp.asarray(y, dtype=jnp.float32), sr=float(SR), method="cc")
+    )
+    pv = praat_f0[praat_f0 > 20]
+    ov = ours[ours > 0]
+    assert abs(np.median(pv) - np.median(ov)) < 2.0
+
+
 def test_formants_vs_praat_burg():
     y = _speech()
     snd = parselmouth.Sound(values=y, sampling_frequency=SR, start_time=0.0)
