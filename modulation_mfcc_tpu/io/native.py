@@ -70,13 +70,12 @@ def native_available() -> bool:
 
 
 def design_resample_taps(up: int, down: int) -> np.ndarray:
-    """scipy.resample_poly's default filter (kaiser 5.0, 10-period half-len)
-    WITHOUT the ``up`` gain (the native kernel applies it)."""
-    from scipy.signal import firwin
+    """The package's kaiser_best-grade polyphase filter (io/wav.py), WITHOUT
+    the ``up`` gain (the native kernel applies it) — one shared design keeps
+    the Python and native resampling paths numerically identical."""
+    from modulation_mfcc_tpu.io.wav import design_hq_taps
 
-    max_rate = max(up, down)
-    half_len = 10 * max_rate
-    return firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0)).astype(np.float64)
+    return design_hq_taps(up, down)
 
 
 def decode_wav_native(path: str) -> tuple[np.ndarray, int]:

@@ -118,6 +118,20 @@ class IntervalTier:
         """Edit an interval's label (the widgets' keyboard editing)."""
         self.intervals[index].text = text
 
+    def delete_boundary(self, index: int):
+        """Delete the boundary between intervals ``index`` and ``index+1``,
+        merging them with concatenated labels — the reference's
+        IntervalMarkerList.remove_marker_by_idx semantics
+        (praat_py_ui/markers.py:131-146): removing an interval's start
+        marker appends its name to the previous marker's. Returns the
+        merged Interval."""
+        if not (0 <= index < len(self.intervals) - 1):
+            raise IndexError(f"no boundary after interval {index}")
+        left, right = self.intervals[index], self.intervals.pop(index + 1)
+        left.end = right.end
+        left.text = left.text + right.text
+        return left
+
     def label_at(self, t: float) -> str:
         """Label of the interval containing t ('' if none) — the per-sample
         word lookup of the reference's CSV export."""

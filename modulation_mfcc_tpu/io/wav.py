@@ -3,21 +3,22 @@
 Replaces the reference's ``librosa.load(path, sr=10000, mono=False)``
 (script/mfcc.py:262-289 load_channel, :373). soundfile/resampy are not
 dependencies here: PCM/float WAV decoding is plain numpy over the RIFF
-layout, and resampling is polyphase (scipy.signal.resample_poly, Kaiser
-window) — the same family of polyphase kaiser filters librosa's resamplers
-use; parity with the reference is at the feature level (≤1e-4 on MFCCs for
-same-rate inputs; resampled inputs agree to the resampler's passband ripple).
+layout, and resampling is polyphase at resampy-kaiser_best grade (see
+design_hq_taps); parity with the reference is at the feature level (≤1e-4 on
+MFCCs for same-rate inputs; resampled inputs are bounded against the ideal
+band-limited oracle by tests/test_io.py::test_resampler_feature_divergence).
 """
 from __future__ import annotations
 
 import struct
 import wave
 from fractions import Fraction
+from functools import lru_cache
 
 import numpy as np
 from scipy.signal import resample_poly
 
-__all__ = ["read_wav", "write_wav", "load_channel", "resample"]
+__all__ = ["read_wav", "write_wav", "load_channel", "resample", "design_hq_taps"]
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
@@ -97,12 +98,39 @@ def write_wav(path: str, x: np.ndarray, sr: int) -> None:
         w.writeframes(x.tobytes())
 
 
+@lru_cache(maxsize=16)
+def design_hq_taps(up: int, down: int) -> np.ndarray:
+    """kaiser_best-grade polyphase anti-alias filter (without the ``up``
+    gain — resample_poly/the native kernel apply it).
+
+    The reference resamples through librosa.load (script/mfcc.py:373);
+    librosa's high-quality resamplers (resampy kaiser_best / soxr_hq) use a
+    ~64-zero-crossing Kaiser-windowed sinc with rolloff ≈ 0.9476 and
+    β ≈ 14.77 (resampy's published kaiser_best spec). This matches that
+    grade: stopband < -100 dB, passband ripple ~1e-5 — so the feature-level
+    divergence from librosa's convention is bounded by the resamplers'
+    shared deviation from ideal band-limited interpolation
+    (tests/test_io.py::test_resampler_feature_divergence pins the bound).
+    """
+    from scipy.signal import firwin
+
+    n_zeros = 64
+    rolloff = 0.9475937167399596
+    beta = 14.769656459379492
+    m = max(up, down)
+    half_len = n_zeros * m
+    return firwin(2 * half_len + 1, rolloff / m, window=("kaiser", beta)).astype(
+        np.float64
+    )
+
+
 def resample(x: np.ndarray, orig_sr: float, target_sr: float) -> np.ndarray:
-    """Polyphase resampling along the last axis (Kaiser-windowed)."""
+    """Polyphase resampling along the last axis (kaiser_best-grade filter)."""
     if orig_sr == target_sr:
         return x
     frac = Fraction(int(round(target_sr)), int(round(orig_sr))).limit_denominator(1000)
-    return resample_poly(x, frac.numerator, frac.denominator, axis=-1)
+    up, down = frac.numerator, frac.denominator
+    return resample_poly(x, up, down, axis=-1, window=design_hq_taps(up, down))
 
 
 def load_channel(path: str, signal_sample_rate: float = 10_000, channel_nb: int = 0):

@@ -227,8 +227,35 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             from modulation_mfcc_tpu.parallel.features_batch import batched_envelope
 
             acfg = sweep.amp_cfg or AmplitudeConfig()
-            amp, a_valid = batched_envelope(ab, float(sweep.cfg.signal_sample_rate), acfg)
-            out["envelope"] = (np.asarray(amp), np.asarray(a_valid), acfg.hopLen)
+            sr = float(sweep.cfg.signal_sample_rate)
+            if acfg.method == "RMSpraat":
+                # pitch-adaptive: output rate is chosen per file, so this
+                # runs the per-file path (one compile per distinct length —
+                # fine for uniform corpora, logged for ragged ones)
+                from modulation_mfcc_tpu.models.envelope import extract_envelope
+
+                log_event("corpus.envelope_per_file", method=acfg.method)
+                s_np = np.asarray(samples_d)
+                l_np = np.asarray(lengths_d)
+                pairs = [
+                    extract_envelope(s_np[i, : l_np[i]], sr, acfg)
+                    for i in range(len(l_np))
+                ]
+                width = max(a.shape[-1] for a, _ in pairs)
+                vals = np.zeros((len(pairs), width), dtype=np.float32)
+                valid = np.zeros((len(pairs), width), dtype=bool)
+                hops = np.empty(len(pairs))
+                for i, (a, tgrid) in enumerate(pairs):
+                    a = np.asarray(a)
+                    vals[i, : len(a)] = a
+                    valid[i, : len(a)] = True
+                    hops[i] = tgrid[1] - tgrid[0] if len(tgrid) > 1 else acfg.hopLen
+                out["envelope"] = (vals, valid, hops)
+            else:
+                amp, a_valid = batched_envelope(ab, sr, acfg)
+                # Hilb is dense but the reference's published time axis is
+                # arange(n)*hopLen for it too (the case-sensitivity quirk)
+                out["envelope"] = (np.asarray(amp), np.asarray(a_valid), acfg.hopLen)
         return out
 
     with open(_done_path(sweep), "a") as done_f:
@@ -249,8 +276,9 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
                 rec = {"times": times, "mod_cepstr": tot[i, :nf]}
                 for name, (vals, valid, hop) in extras.items():
                     nvf = int(valid[i].sum())
+                    hop_i = float(hop[i]) if isinstance(hop, np.ndarray) else hop
                     rec[name] = vals[i, :nvf]
-                    rec[name + "_times"] = np.arange(nvf) * hop
+                    rec[name + "_times"] = np.arange(nvf) * hop_i
                 np.savez(out, **rec)
                 done_f.write(p + "\n")
                 meter.add(float(lengths[i]) / sweep.cfg.signal_sample_rate)

@@ -35,6 +35,32 @@ __all__ = ["batched_f0", "batched_envelope", "batched_formants"]
 
 
 @partial(jax.jit, static_argnames=("sr", "cfg"))
+def _pyin_impl(samples, sr, cfg: F0Config):
+    from modulation_mfcc_tpu.ops.yin import pyin_f0
+
+    return jax.vmap(
+        lambda y: pyin_f0(
+            y,
+            sr=sr,
+            fmin=float(cfg.minPitch),
+            fmax=float(cfg.maxPitch),
+            frame_length=cfg.pyinframe_length,
+            win_length=cfg.pyinwin_length,
+            hop=cfg.hopSize,
+            n_thresholds=cfg.n_thresholds,
+            beta_parameters=cfg.beta_parameters,
+            boltzmann_parameter=cfg.boltzmann_parameter,
+            resolution=cfg.resolution,
+            max_transition_rate=cfg.max_transition_rate,
+            switch_prob=cfg.switch_prob,
+            no_trough_prob=cfg.no_trough_prob,
+            center=cfg.pyincenter,
+            pad_mode=cfg.pyinpad_mode,
+        )
+    )(samples)
+
+
+@partial(jax.jit, static_argnames=("sr", "cfg"))
 def _f0_impl(samples, lengths, sr, cfg: F0Config):
     method = "ac" if cfg.method == "praatac" else "cc"
     return jax.vmap(
@@ -62,10 +88,22 @@ def batched_f0(batch: AudioBatch, sr: float, cfg: F0Config = F0Config()):
 
     Post-processing (NaN interp, filtering) is host-side per file like
     extract_f0; this provides the heavy tracking stage at corpus scale.
+    Supports praatac/praatcc (autocorrelation tracker) and pyin: pyin's
+    centered constant padding equals the batch's zero padding, so its
+    frames are exact on the valid range (the Viterbi decode still sees the
+    padded tail — tolerance-grade at the final boundary, like ac/cc).
+    With pyinpad_mode != 'constant' the tail frames see batch zeros instead
+    of the reflected/edge extension — use the per-file path for those.
     """
+    hop_s = max(1, int(round(cfg.hopSize * sr)))
+    if cfg.method == "pyin":
+        f0 = _pyin_impl(batch.samples, float(sr), cfg)
+        nf = f0.shape[-1]
+        nf_real = jnp.minimum(1 + batch.lengths // hop_s, nf)
+        valid = jnp.arange(nf)[None, :] < nf_real[:, None]
+        return jnp.where(valid, f0, 0.0), valid
     f0 = _f0_impl(batch.samples, batch.lengths, float(sr), cfg)
     nf = f0.shape[-1]
-    hop_s = max(1, int(round(cfg.hopSize * sr)))
     periods = (6.0 if cfg.veryAccurate else 3.0) if cfg.method == "praatac" else 1.0
     nw = int(round(periods / cfg.minPitch * sr))
     span = nw if cfg.method == "praatac" else nw + int(np.ceil(sr / cfg.minPitch))
@@ -88,12 +126,34 @@ def _env_impl(samples, lengths, sr, cfg: AmplitudeConfig):
     return jnp.where(valid, amp, 0.0), valid
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _hilb_impl(samples, lengths, cfg: AmplitudeConfig):
+    from modulation_mfcc_tpu.ops.hilbert import hilbert_envelope
+
+    amp = hilbert_envelope(samples)  # dense [B, W]
+    valid = jnp.arange(samples.shape[-1])[None, :] < lengths[:, None]
+    return jnp.where(valid, amp, 0.0), valid
+
+
 def batched_envelope(batch: AudioBatch, sr: float, cfg: AmplitudeConfig = AmplitudeConfig()):
-    """(amp [B, NF], valid [B, NF]) — RMS method (the batchable one; Hilb is
-    dense per-sample, RMSpraat is adaptive per file)."""
-    if cfg.method != "RMS":
-        raise ValueError("batched_envelope supports method='RMS'")
-    return _env_impl(batch.samples, batch.lengths, float(sr), cfg)
+    """(amp [B, NF], valid [B, NF]).
+
+    * 'RMS'  — exact per-file parity (frames are local).
+    * 'Hilb' — analytic signal over the zero-padded batch width: the FFT is
+      global, so values differ from the per-file transform by edge ripple
+      that decays away from the valid/pad boundary (tolerance-grade tail,
+      exact-grade interior). Output is dense per-sample.
+    * 'RMSpraat' picks its own output rate per file (pitch-adaptive) — use
+      the per-file extract_envelope path.
+    """
+    if cfg.method == "RMS":
+        return _env_impl(batch.samples, batch.lengths, float(sr), cfg)
+    if cfg.method == "Hilb":
+        return _hilb_impl(batch.samples, batch.lengths, cfg)
+    raise ValueError(
+        "batched_envelope supports method='RMS' or 'Hilb' "
+        "(RMSpraat is per-file adaptive; use extract_envelope)"
+    )
 
 
 @partial(jax.jit, static_argnames=("sr", "cfg"))

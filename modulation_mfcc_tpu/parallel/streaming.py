@@ -164,15 +164,19 @@ def sharded_longform_mfcc_change(y: jnp.ndarray, cfg: MfccConfig, mesh) -> jnp.n
     is all-gathered and post-processed identically on every device.
     """
     n_t = mesh.shape["time"]
-    t = y.shape[-1]
+    t_true = y.shape[-1]
     hop, n_fft = cfg.hop_length, cfg.n_fft
     pad = n_fft // 2
-    nf_total = 1 + t // hop
+    nf_total = 1 + t_true // hop
     # frames per shard (last shard may own fewer; masked at gather)
     fps = -(-nf_total // n_t)
+    # arbitrary lengths: zero-pad the sample axis to a shardable multiple;
+    # frame ownership/validity below is in true-sample coordinates, so the
+    # tail padding behaves exactly like centered framing's zero extension
+    t = -(-t_true // n_t) * n_t
+    if t != t_true:
+        y = jnp.pad(y, (0, t - t_true))
     shard_len = t // n_t
-    if t % n_t:
-        raise ValueError(f"signal length {t} must divide the time axis {n_t}")
     # Exact static halo: the right overhang of a shard's frame windows grows
     # with shard index (frame ownership is by frame count, sample ownership
     # by sample count), maximal at the last shard. Only this slice — not the
@@ -204,7 +208,7 @@ def sharded_longform_mfcc_change(y: jnp.ndarray, cfg: MfccConfig, mesh) -> jnp.n
         frames = ext[fidx]
         # zero out-of-range (head of device 0: the centered left zero-pad)
         sample_pos = off + shard_start - pad + np.arange(fps)[:, None] * hop + np.arange(n_fft)[None, :]
-        valid = (sample_pos >= 0) & (sample_pos < t)
+        valid = (sample_pos >= 0) & (sample_pos < t_true)
         return jnp.where(valid, frames, 0.0)
 
     def step(shard):

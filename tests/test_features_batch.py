@@ -56,6 +56,46 @@ def test_batched_envelope_exact():
         np.testing.assert_allclose(amp[i, :nf], single[:nf], atol=1e-6)
 
 
+def test_batched_pyin_matches_per_file():
+    """Corpus sweeps with features=('f0',) work for method='pyin' too
+    (VERDICT round-1 item 10); frames are exact vs the per-file path."""
+    from modulation_mfcc_tpu.ops.yin import pyin_f0
+
+    sigs = _tones()
+    batch = pad_batch(sigs, bucket_multiple=1024)
+    cfg = F0Config(method="pyin")
+    f0b, valid = batched_f0(batch, SR, cfg)
+    f0b, valid = np.asarray(f0b), np.asarray(valid)
+    for i, (s, want) in enumerate(zip(sigs, [140.0, 200.0, 110.0])):
+        single = np.asarray(
+            pyin_f0(jnp.asarray(s, dtype=jnp.float32), sr=float(SR))
+        )
+        nf = int(valid[i].sum())
+        assert nf == len(single)
+        v = f0b[i, :nf]
+        voiced = (v > 0) & (single > 0)
+        # frame-exact away from the decode boundary: compare medians + bulk
+        assert abs(np.median(v[voiced]) - want) < 3.0
+        agree = np.abs(v[voiced] - single[voiced]) < 1.0
+        assert agree.mean() > 0.9
+
+
+def test_batched_envelope_hilb():
+    from modulation_mfcc_tpu.ops.hilbert import hilbert_envelope
+
+    sigs = _tones()
+    batch = pad_batch(sigs, bucket_multiple=1024)
+    amp, valid = batched_envelope(batch, SR, AmplitudeConfig(method="Hilb"))
+    amp, valid = np.asarray(amp), np.asarray(valid)
+    for i, s in enumerate(sigs):
+        n = int(valid[i].sum())
+        assert n == len(s)
+        single = np.asarray(hilbert_envelope(jnp.asarray(s, dtype=jnp.float32)))
+        # interior parity (the padded-width FFT differs by edge ripple)
+        m = n // 10
+        np.testing.assert_allclose(amp[i, m : n - m], single[m : n - m], atol=2e-2)
+
+
 def test_batched_formants_match_single(rng):
     import scipy.signal as sps
 

@@ -73,6 +73,54 @@ def test_resample_preserves_tone(rng):
     assert abs(peak - 440) < 2
 
 
+def test_resampler_feature_divergence(rng):
+    """Bound the 44.1 kHz→10 kHz resampler's end-to-end MFCC divergence
+    against the ideal band-limited oracle (VERDICT round-1 item 6).
+
+    For a signal that is band-limited below the target passband and zero at
+    its edges, periodic (Fourier) resampling IS the ideal band-limited
+    result, and every high-quality resampler (librosa's soxr_hq /
+    kaiser_best included) agrees with it to its ripple spec — so this bound
+    also bounds the divergence from the reference's librosa.load convention.
+    """
+    from scipy.signal import resample as fourier_resample
+
+    from tests.reference_impl import get_mfccs_change_np
+
+    sr_in, sr_out = 44_100, 10_000
+    n = sr_in  # 1 s → integer-Hz bins are exactly periodic
+    t = np.arange(n) / sr_in
+    y = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for f, a in [(220, 0.5), (880, 0.3), (1760, 0.2), (3520, 0.1)]
+    )
+    # fade edges to zero so periodic and zero extensions coincide
+    fade = int(0.1 * sr_in)
+    env = np.ones(n)
+    env[:fade] = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
+    env[-fade:] = env[:fade][::-1]
+    y = y * env
+    ideal = fourier_resample(y, sr_out)
+    ours = resample(y, sr_in, sr_out)
+    assert len(ours) == len(ideal)
+    got, _ = get_mfccs_change_np(ours, float(sr_out))
+    want, _ = get_mfccs_change_np(ideal, float(sr_out))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_resampler_passband_flatness():
+    """kaiser_best-grade spec: a passband tone's amplitude is preserved to
+    ~1e-4 through the 44.1k→10k polyphase."""
+    sr_in, sr_out = 44_100, 10_000
+    t = np.arange(2 * sr_in) / sr_in
+    y = np.sin(2 * np.pi * 1000 * t)
+    z = resample(y, sr_in, sr_out)
+    mid = z[len(z) // 4 : -len(z) // 4]
+    mid = mid[: (len(mid) // 10) * 10]  # whole cycles of the 1 kHz tone
+    amp = np.sqrt(2.0) * np.sqrt(np.mean(mid**2))
+    assert abs(amp - 1.0) < 2e-4
+
+
 def test_linear_resample_matches_interp(rng):
     import jax.numpy as jnp
 
@@ -186,6 +234,23 @@ def test_csv_export_full(tmp_path):
     aggs = interval_aggregations([c], tg.get_tier("words"))
     assert [a[0] for a in aggs] == ["hello", "world"]
     assert abs(aggs[0][3] - 0.5) < 1e-9
+
+
+def test_interval_delete_merges_labels():
+    """Deleting a boundary merges neighbors and concatenates names
+    (reference praat_py_ui/markers.py:131-146)."""
+    it = IntervalTier(name="w", xmax=3.0)
+    it.add(0.0, 1.0, "ba")
+    it.add(1.0, 2.0, "na")
+    it.add(2.0, 3.0, "nas")
+    merged = it.delete_boundary(0)
+    assert merged.start == 0.0 and merged.end == 2.0
+    assert merged.text == "bana"
+    assert len(it.intervals) == 2
+    it.delete_boundary(0)
+    assert it.intervals[0].text == "bananas"
+    with pytest.raises(IndexError):
+        it.delete_boundary(0)  # single interval left: no inner boundary
 
 
 def test_tier_boundary_editing():

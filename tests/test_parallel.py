@@ -60,6 +60,18 @@ def test_time_sharded_longform_matches_wholefile(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_time_sharded_longform_nondivisible_length(rng):
+    """Signal lengths need not divide the time axis: the shard geometry pads
+    internally and masks the tail (VERDICT round-1 item 9)."""
+    cfg = small_cfg()
+    y = jnp.asarray(rng.standard_normal(64_000 + 4321), dtype=jnp.float32)
+    mesh = make_mesh(1, 8)
+    got = sharded_longform_mfcc_change(y, cfg, mesh)
+    want = mfcc_change(y, cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_graft_entry_single_and_multi():
     import importlib.util, pathlib
 
