@@ -15,6 +15,11 @@ Methodology notes (hard-won):
     `block_until_ready` is unreliable over the remote tunnel, so the timing
     loop runs distinct inputs through a jitted `lax.map` over stacked
     batches with a single host readback as the barrier;
+  * the remote tunnel adds ~30-45 ms of FIXED dispatch+readback latency per
+    execution (measured: an (8,128) passthrough round-trips in ~46 ms) — a
+    latency, not a throughput, cost. n_super=8 map iterations per execution
+    amortize it to <2 ms/batch so the metric reflects steady-state
+    throughput rather than tunnel latency;
   * baseline: ≥500 audio-h/s on a v5e-8 = 62.5/chip (BASELINE.json north
     star; the reference itself publishes no numbers — its envelope is one
     CPU core of librosa/scipy per file).
@@ -61,9 +66,10 @@ def _throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> floa
 
 
 def main() -> None:
-    batch, seconds, n_super = 128, 30.0, 4
+    batch, seconds, n_super = 128, 30.0, 8
     bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
     f32 = _throughput("pallas", batch, seconds, n_super)
+    x3 = _throughput("pallas_x3", batch, seconds, n_super)
     per_chip_target = 500.0 / 8.0
     print(
         json.dumps(
@@ -73,6 +79,7 @@ def main() -> None:
                 "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
                 "vs_baseline": round(bf16 / per_chip_target, 4),
                 "f32_parity_mode": round(f32, 3),
+                "f32_x3_mode": round(x3, 3),
             }
         )
     )

@@ -40,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--config", help="reference-schema JSON config file")
     sw.add_argument("--batch-size", type=int, default=32)
     sw.add_argument("--spectrum", default="pallas",
-                    choices=("fft", "matmul", "pallas", "pallas_bf16"))
+                    choices=("fft", "matmul", "pallas", "pallas_x3", "pallas_bf16"))
     sw.add_argument("--no-resume", action="store_true")
 
     pv = sub.add_parser("plot", help="render an analysis figure for a WAV")

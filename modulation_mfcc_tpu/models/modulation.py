@@ -52,20 +52,26 @@ def mfcc_trajectories(
     ``spectrum`` selects the front-end implementation:
       * 'fft'         — framing gather + jnp.fft.rfft (oracle path)
       * 'matmul'      — framing gather + windowed-DFT matmuls (MXU)
-      * 'pallas'      — fused Pallas kernel, f32 (parity ≈1e-5, fastest exact)
+      * 'pallas'      — fused Pallas kernel, f32/HIGHEST (parity ≈1e-5 at
+                        the MFCC level — the BASELINE ≤1e-4 mode)
+      * 'pallas_x3'   — fused Pallas kernel, 3-pass bf16-split matmuls:
+                        ~1.35x 'pallas'; ~1e-3-grade MFCC error (fine for
+                        feature extraction, not for strict parity)
       * 'pallas_bf16' — fused Pallas kernel, bf16 multiplies (corpus
                         throughput mode; ~0.5 absolute MFCC-dB error)
     Default 'fft'; the legacy ``use_fft=False`` maps to 'matmul'.
     """
     if spectrum is None:
         spectrum = "fft" if use_fft else "matmul"
-    if spectrum not in ("fft", "matmul", "pallas", "pallas_bf16"):
+    if spectrum not in ("fft", "matmul", "pallas", "pallas_x3", "pallas_bf16"):
         raise ValueError(
-            f"Unknown spectrum {spectrum!r}; one of fft, matmul, pallas, pallas_bf16"
+            f"Unknown spectrum {spectrum!r}; one of fft, matmul, pallas, "
+            "pallas_x3, pallas_bf16"
         )
     if spectrum.startswith("pallas"):
         from modulation_mfcc_tpu.pallas.fused_frontend import fused_mfcc
 
+        algo = {"pallas": "f32", "pallas_x3": "x3", "pallas_bf16": "bf16"}[spectrum]
         return fused_mfcc(
             y,
             sr=cfg.signal_sample_rate,
@@ -76,7 +82,7 @@ def mfcc_trajectories(
             n_mels=cfg.n_mels,
             fmin=cfg.minFreq,
             fmax=cfg.maxFreq,
-            compute_dtype=jnp.bfloat16 if spectrum.endswith("bf16") else jnp.float32,
+            algorithm=algo,
             frame_mask=frame_mask,
         )
     frames = frame_signal(y, cfg.n_fft, cfg.hop_length)

@@ -21,11 +21,27 @@ spectra); the per-block maxes feed librosa's top_db clip without re-reading
 mel. The log/clip/DCT tail is a second tiny kernel (one mel read, one
 [*, n_mfcc] write).
 
-dtype modes:
-  * float32 — parity mode (HIGHEST-precision MXU passes; ~2e-5 vs the rfft
-    oracle measured on hardware);
-  * bfloat16 — corpus throughput mode (BASELINE.json config #5), mel stored
-    bf16, ~0.5 dB-domain error documented.
+dtype/algorithm modes (the ``algorithm`` knob):
+  * 'f32'  — parity mode: HIGHEST-precision MXU passes (TPU emulates f32
+    matmuls with ~6 bf16 MXU passes; ~2e-5 vs the rfft oracle on hardware).
+    This is the ≤1e-4-at-MFCC mode BASELINE.json's parity target names.
+  * 'x3'   — middle mode: operands split into bf16 (hi, lo) pairs, 3 MXU
+    passes (hi·Whi + hi·Wlo + lo·Whi). ~1.35x the f32 mode's throughput;
+    error ≈ 2^-17 relative (≈7e-3 max in the mel-dB domain on noise) —
+    fine for feature extraction, NOT for the strict ≤1e-4 MFCC parity bar.
+  * 'bf16' — corpus throughput mode (BASELINE.json config #5): one MXU pass,
+    audio + mel stored bf16, ~0.5 dB-domain error documented.
+
+MXU-shape notes (measured on v5e):
+  * the analysis window's zero flanks are trimmed from the contraction
+    (win_length < n_fft support only), which also shrinks the frame
+    assembly to ceil(win/hop) shifted slices;
+  * when fmax > Nyquist every half-open mel bin is live (n_bins =
+    n_fft/2+1); the odd bin would pad the DFT output to an extra 128-lane
+    tile-pair. Instead the Nyquist-bin REAL column is packed into the
+    always-zero im₀ slot and its mel weight remapped onto the zero-weight
+    DC power slot — cutting the DFT matmul's output from
+    2·roundup(257,128)=768 to 2·256=512 lanes exactly (-33% MXU flops).
 """
 from __future__ import annotations
 
@@ -46,43 +62,54 @@ __all__ = ["fused_mel_frontend", "fused_mfcc", "mfcc_tail"]
 _TAIL_ROWS = 16  # >= ceil(n_fft/hop) for all supported configs; 8-multiple
 
 
+def _mxu(x, w_ref, algorithm: str):
+    """One logical matmul under the selected algorithm. ``w_ref`` is stacked
+    [n_passes, K, C]: one f32/bf16 plane, or an (hi, lo) bf16 pair for x3."""
+    if algorithm == "x3":
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.dot(hi, w_ref[0], preferred_element_type=jnp.float32)
+        out = out + jnp.dot(hi, w_ref[1], preferred_element_type=jnp.float32)
+        return out + jnp.dot(lo, w_ref[0], preferred_element_type=jnp.float32)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if algorithm == "f32"
+        else jax.lax.Precision.DEFAULT
+    )
+    w = w_ref[0]
+    return jnp.dot(
+        x.astype(w.dtype), w, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
-            *, blkf: int, hop: int, n_fft: int, lane: int, bins_pad: int,
-            nf: int, compute_dtype, out_dtype, frame_mode: str = "concat"):
-    n_shift = -(-n_fft // hop)
+            *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
+            nf: int, algorithm: str, out_dtype, frame_mode: str = "concat"):
+    n_shift = len(widths)
     # stage the pipelined blocks into one contiguous scratch so the shifted
     # slices below share a base layout (Mosaic cannot concat views of a
     # concat with mismatched sublane offsets)
     rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
     rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
     if frame_mode == "concat":
-        # frames[i, k*hop:(k+1)*hop] = rows[i+k, :hop] — shifted sublane slices
-        parts = []
-        for k in range(n_shift):
-            width = min(hop, n_fft - k * hop)
-            parts.append(rows_vmem[k : k + blkf, :width])
-        frames = jnp.concatenate(parts, axis=-1).astype(compute_dtype)
-        reim = jnp.dot(frames, wri_ref[:], preferred_element_type=jnp.float32, precision=prec)
+        # frames[i, k*hop:(k+1)*hop] = rows[i+k, :hop] — shifted sublane
+        # slices over the trimmed window support only
+        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(n_shift)]
+        frames = jnp.concatenate(parts, axis=-1)
+        reim = _mxu(frames, wri_ref, algorithm)
     else:
         # frames @ W == Σ_k rows[k:k+blkf] @ W_k (W_k = rows of W for hop-
         # chunk k, zero-padded to the lane width): no frame materialization
         reim = jnp.zeros((blkf, 2 * bins_pad), dtype=jnp.float32)
         for k in range(n_shift):
-            lhs = rows_vmem[k : k + blkf, :].astype(compute_dtype)
-            rhs = wri_ref[k * lane : (k + 1) * lane, :]
-            reim = reim + jnp.dot(lhs, rhs, preferred_element_type=jnp.float32, precision=prec)
+            lhs = rows_vmem[k : k + blkf, :]
+            reim = reim + _mxu(
+                lhs, wri_ref[:, k * lane : (k + 1) * lane, :], algorithm
+            )
     re = reim[:, :bins_pad]
     im = reim[:, bins_pad:]
     p = re * re + im * im
-    mel = jnp.dot(
-        p.astype(compute_dtype), mel_ref[:], preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    mel = _mxu(p, mel_ref, algorithm)
     out_ref[0] = mel.astype(out_dtype)
     # Block max over VALID frames only (global frame index < nf, nf static).
     # Frames just past nf still window real tail samples (frame i starts at
@@ -107,21 +134,34 @@ def fused_mel_frontend(
     compute_dtype=jnp.float32,
     out_dtype=jnp.float32,
     frame_mode: str = "concat",
+    algorithm: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mel [B, NF_pad, n_mels], block_maxes [B, nj, 8, 128]) for audio [B, T].
 
     NF_pad rounds the librosa frame count up to a block multiple; callers
     slice [:, :nf]. Centered framing (librosa center=True, zero pad).
+    ``algorithm`` ∈ {'f32', 'x3', 'bf16'} (see module docstring); defaults
+    from ``compute_dtype`` for backward compatibility.
     """
+    if algorithm is None:
+        algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
     if audio.ndim == 1:
         audio = audio[None, :]
     if hop > 128 and hop % 128:
         raise ValueError(f"hop {hop} > 128 must be a multiple of 128")
-    n_shift = -(-n_fft // hop)
+    win_length = win_length or n_fft
+    # the analysis window is zero outside its centered win_length support
+    # (librosa pad_center) — trim those rows from the contraction and shift
+    # the hop-row grid so the support starts at row offset 0
+    pw = (n_fft - win_length) // 2
+    sup = win_length
+    n_shift = -(-sup // hop)
     if n_shift > _TAIL_ROWS:
-        raise ValueError(f"n_fft/hop ratio {n_shift} exceeds tail buffer {_TAIL_ROWS}")
+        raise ValueError(f"win/hop ratio {n_shift} exceeds tail buffer {_TAIL_ROWS}")
+    widths = tuple(min(hop, sup - k * hop) for k in range(n_shift))
     bsz, t = audio.shape
     pad = n_fft // 2
+    eff_pad = pad - pw  # left padding so frame f's SUPPORT starts at f*hop
     nf = 1 + t // hop
     nj = -(-nf // blkf)
     nf_pad = nj * blkf
@@ -129,8 +169,8 @@ def fused_mel_frontend(
     # hop-rows, one extra block so the tail view of the last step is in range
     rows_total = (nj + 1) * blkf
     total = rows_total * hop
-    audio_p = jnp.pad(audio, ((0, 0), (pad, total - t - pad)))
-    if compute_dtype == jnp.bfloat16:
+    audio_p = jnp.pad(audio, ((0, 0), (eff_pad, total - t - eff_pad)))
+    if algorithm == "bf16":
         # corpus mode: bf16 samples at rest halve audio HBM traffic and the
         # VMEM staging copy (consistent with the mode's documented accuracy)
         audio_p = audio_p.astype(jnp.bfloat16)
@@ -138,33 +178,66 @@ def fused_mel_frontend(
     if hop < lane:
         audio_p = jnp.pad(audio_p, ((0, 0), (0, 0), (0, lane - hop)))
 
-    wr, wi = dft_bases(n_fft, "hann", win_length or n_fft)
-    n_bins = wr.shape[1]
+    wr, wi = dft_bases(n_fft, "hann", win_length)
+    n_bins_full = wr.shape[1]
+    wr = wr[pw : pw + sup]
+    wi = wi[pw : pw + sup]
     m_full = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
     # drop trailing FFT bins with all-zero mel weight (e.g. the Nyquist bin
     # when fmax <= sr/2): they cannot affect the mel output, and trimming
     # 257→256 bins avoids a whole extra 128-lane tile in the DFT matmuls.
     nz = np.flatnonzero(np.abs(m_full).sum(axis=0) > 0)
-    n_bins = int(nz[-1]) + 1 if nz.size else n_bins
-    bins_pad = round_up_to_multiple(n_bins, 128)
+    n_bins = int(nz[-1]) + 1 if nz.size else n_bins_full
+    half = n_fft // 2
+    # rfft packing (module docstring): with every bin live (fmax > Nyquist),
+    # park the Nyquist REAL column in the always-zero im₀ slot and remap its
+    # mel weight onto the (zero-weight) DC power slot. Needs the DC bin to
+    # be mel-silent (fmin above bin 1) so zeroing its re column is free.
+    packed = (
+        n_bins == half + 1
+        and half % 128 == 0
+        and nz.size
+        and int(nz[0]) >= 1
+    )
+    if packed:
+        bins_pad = half
+        wr_eff = wr[:, :half].copy()
+        wr_eff[:, 0] = 0.0  # DC power must not pollute the Nyquist slot
+        wi_eff = wi[:, :half].copy()
+        wi_eff[:, 0] = wr[:, half]  # Nyquist re rides the im₀ column
+        m_p = np.zeros((bins_pad, n_mels), np.float32)
+        m_p[:half, :] = m_full.T[:half]
+        m_p[0, :] = m_full.T[half]  # DC power slot now carries Nyquist power
+    else:
+        bins_pad = round_up_to_multiple(n_bins, 128)
+        wr_eff = wr[:, :n_bins]
+        wi_eff = wi[:, :n_bins]
+        m_p = np.zeros((bins_pad, n_mels), np.float32)
+        m_p[:n_bins, :] = m_full.T[:n_bins]
+    ncol = wr_eff.shape[1]
     if frame_mode == "concat":
-        wri_p = np.zeros((n_fft, 2 * bins_pad), np.float32)
-        wri_p[:, :n_bins] = wr[:, :n_bins]
-        wri_p[:, bins_pad : bins_pad + n_bins] = wi[:, :n_bins]
+        K = sum(widths)
+        wri_p = np.zeros((K, 2 * bins_pad), np.float32)
+        row = 0
+        for k in range(n_shift):
+            w_ = widths[k]
+            wri_p[row : row + w_, :ncol] = wr_eff[k * hop : k * hop + w_]
+            wri_p[row : row + w_, bins_pad : bins_pad + ncol] = wi_eff[k * hop : k * hop + w_]
+            row += w_
     else:
         # per-hop-chunk base rows at lane stride (zero rows over the pad)
         wri_p = np.zeros((n_shift * lane, 2 * bins_pad), np.float32)
         for c in range(n_shift):
-            width = min(hop, n_fft - c * hop)
-            wri_p[c * lane : c * lane + width, :n_bins] = wr[c * hop : c * hop + width, :n_bins]
-            wri_p[c * lane : c * lane + width, bins_pad : bins_pad + n_bins] = wi[c * hop : c * hop + width, :n_bins]
-    m_p = np.zeros((bins_pad, n_mels), np.float32)
-    m_p[:n_bins, :] = m_full.T[:n_bins]
+            w_ = widths[c]
+            wri_p[c * lane : c * lane + w_, :ncol] = wr_eff[c * hop : c * hop + w_]
+            wri_p[c * lane : c * lane + w_, bins_pad : bins_pad + ncol] = wi_eff[c * hop : c * hop + w_]
 
-    cd = compute_dtype
+    wri_in = _stack_weights(wri_p, algorithm)
+    mel_in = _stack_weights(m_p, algorithm)
     kern = partial(
-        _kernel, blkf=blkf, hop=hop, n_fft=n_fft, lane=lane, bins_pad=bins_pad,
-        nf=nf, compute_dtype=cd, out_dtype=out_dtype, frame_mode=frame_mode,
+        _kernel, blkf=blkf, hop=hop, lane=lane, bins_pad=bins_pad,
+        widths=widths, nf=nf, algorithm=algorithm, out_dtype=out_dtype,
+        frame_mode=frame_mode,
     )
     tail_stride = blkf // _TAIL_ROWS
     mel_out, bmax = pl.pallas_call(
@@ -177,11 +250,8 @@ def fused_mel_frontend(
                 lambda b, j: (b, (j + 1) * tail_stride, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (wri_p.shape[0], 2 * bins_pad), lambda b, j: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((bins_pad, n_mels), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wri_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
@@ -192,8 +262,19 @@ def fused_mel_frontend(
             jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
-    )(audio_p, audio_p, jnp.asarray(wri_p).astype(cd), jnp.asarray(m_p).astype(cd))
+    )(audio_p, audio_p, wri_in, mel_in)
     return mel_out, bmax
+
+
+def _stack_weights(w: np.ndarray, algorithm: str) -> jnp.ndarray:
+    """Stack a weight matrix for :func:`_mxu`: [1, K, C] f32/bf16 plane, or
+    the (hi, lo) bf16 split pair for the x3 algorithm."""
+    if algorithm == "x3":
+        hi = w.astype(np.float32).astype(jnp.bfloat16)
+        lo = (w - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return jnp.stack([jnp.asarray(hi), jnp.asarray(lo)])
+    dt = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    return jnp.asarray(w, dtype=dt)[None]
 
 
 def _tail_kernel(mel_ref, peak_ref, dct_ref, out_ref, *, n_mfcc: int):
@@ -249,12 +330,16 @@ def fused_mfcc(
     fmax: float | None = None,
     compute_dtype=jnp.float32,
     frame_mask: jnp.ndarray | None = None,
+    algorithm: str | None = None,
 ) -> jnp.ndarray:
     """MFCC [B, NF, n_mfcc] via the fused kernels.
 
     librosa semantics (power=2, power_to_db top_db=80, DCT-II ortho), same
-    contract as ops/spectral.mfcc_from_frames.
+    contract as ops/spectral.mfcc_from_frames. ``algorithm`` ∈
+    {'f32', 'x3', 'bf16'}, defaulting from ``compute_dtype``.
     """
+    if algorithm is None:
+        algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
     single = audio.ndim == 1
     if single:
         audio = audio[None, :]
@@ -271,8 +356,8 @@ def fused_mfcc(
         fmin=fmin,
         fmax=fmax,
         blkf=blkf,
-        compute_dtype=compute_dtype,
-        out_dtype=jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32,
+        algorithm=algorithm,
+        out_dtype=jnp.bfloat16 if algorithm == "bf16" else jnp.float32,
     )
     # per-utterance top_db peak: log10 is monotone, so peak_db =
     # 10·log10(max(mel_power)) over valid frames — from the kernel's

@@ -83,6 +83,37 @@ def test_bf16_mode_accuracy_contract():
     assert err > 1e-6  # sanity: this IS the reduced-precision mode
 
 
+def test_fused_mfcc_packed_nyquist(audio):
+    """fmax > Nyquist (the reference's 10 kHz default) keeps every bin live
+    — the packed-rfft layout (Nyquist re in the im₀ slot, mel weight
+    remapped to the DC power slot) must stay exact."""
+    sr, hop = 10_000.0, 50
+    want = np.asarray(
+        mfcc_from_frames(
+            frame_signal(audio, 512, hop), sr=sr, n_fft=512, win_length=250,
+            fmin=100.0, fmax=10_000.0, use_fft=True,
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_mfcc(audio, sr=sr, hop=hop, win_length=250, fmax=10_000.0)
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_x3_mode_accuracy_contract(audio):
+    """spectrum='pallas_x3': ~1e-3-grade MFCC error (2^-17 operand split),
+    between the f32 parity mode and the bf16 corpus mode."""
+    cfg = MfccConfig(signal_sample_rate=16_000, maxFreq=8000.0)
+    want = np.asarray(mfcc_trajectories(audio, cfg, spectrum="fft"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(mfcc_trajectories(audio, cfg, spectrum="pallas_x3"))
+    err = np.abs(got - want).max()
+    assert err < 2e-2, err
+    assert err > 1e-6  # sanity: reduced-precision mode, not the f32 path
+
+
 def test_fused_mfcc_masked_peak(audio):
     # frame_mask restricts the top_db peak to valid frames
     nf = 1 + audio.shape[-1] // 80
