@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--spectrum", default="pallas",
                     choices=("fft", "matmul", "pallas", "pallas_x3", "pallas_bf16"))
     sw.add_argument("--no-resume", action="store_true")
+    sw.add_argument("--num-shards", type=int, default=1,
+                    help="multi-process scale-out: total manifest shards")
+    sw.add_argument("--shard-id", type=int, default=0,
+                    help="this process's shard index (0-based)")
 
     pv = sub.add_parser("plot", help="render an analysis figure for a WAV")
     pv.add_argument("wav")

@@ -70,6 +70,12 @@ def run_sweep(args) -> int:
     if not paths:
         print("no input WAVs found", file=sys.stderr)
         return 1
+    if getattr(args, "num_shards", 1) > 1:
+        # multi-process/multi-slice scale-out: each process sweeps its own
+        # manifest shard into its own output dir (parallel/multislice.py)
+        from modulation_mfcc_tpu.parallel.multislice import shard_manifest
+
+        paths = shard_manifest(paths, args.num_shards, args.shard_id)
     cfg = _load_pipeline_config(args.config)
     sweep = CorpusSweep(
         out_dir=args.out,

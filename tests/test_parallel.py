@@ -60,6 +60,38 @@ def test_time_sharded_longform_matches_wholefile(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_multislice_mesh_matches_single(rng):
+    """('slice','data','time') mesh: the 2-slice layout must produce the
+    same features + corpus stats as the single-mesh path (the 'slice' leg
+    rides DCN on real hardware; here it's a local device group)."""
+    from modulation_mfcc_tpu.parallel.batch import pad_batch, sharded_mfcc_change
+    from modulation_mfcc_tpu.parallel.multislice import (
+        make_multislice_mesh,
+        multislice_sharded_mfcc_change,
+        shard_manifest,
+    )
+
+    cfg = small_cfg()
+    sigs = [rng.standard_normal(4000 + 500 * (i % 3)) for i in range(8)]
+    batch = pad_batch(sigs, bucket_multiple=1024)
+    mesh_ms = make_multislice_mesh(2, 2, 2)
+    tot_ms, mask_ms, mean_ms = multislice_sharded_mfcc_change(batch, cfg, mesh_ms)
+    mesh_1 = make_mesh(8, 1)
+    tot_1, mask_1, mean_1 = sharded_mfcc_change(batch, cfg, mesh_1)
+    np.testing.assert_allclose(
+        np.asarray(tot_ms) * np.asarray(mask_ms),
+        np.asarray(tot_1) * np.asarray(mask_1),
+        atol=1e-5,
+    )
+    assert abs(float(mean_ms) - float(mean_1)) < 1e-6
+
+    # manifest sharding: disjoint, covering, balanced
+    paths = [f"f{i}.wav" for i in range(11)]
+    shards = [shard_manifest(paths, 3, s) for s in range(3)]
+    assert sorted(sum(shards, [])) == sorted(paths)
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
 def test_time_sharded_longform_nondivisible_length(rng):
     """Signal lengths need not divide the time axis: the shard geometry pads
     internally and masks the tail (VERDICT round-1 item 9)."""
