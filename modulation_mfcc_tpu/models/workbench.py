@@ -227,6 +227,15 @@ class AnalysisSession:
         return path
 
     # ---- rendering -------------------------------------------------------
+    def render_interactive(self, out: str, *, show_spectrogram: bool = True) -> str:
+        """Export the session as a self-contained interactive HTML file:
+        synced crosshair, drag/wheel zoom with linked panels, spectrogram
+        toggle — the reference's Crosshair/SyncCursor/ZoomToolbar
+        capabilities without a Qt event loop (viz/interactive.py)."""
+        from modulation_mfcc_tpu.viz.interactive import export_interactive_html
+
+        return export_interactive_html(self, out, show_spectrogram=show_spectrogram)
+
     def render(self, out: str | None = None, show_spectrogram: bool = True):
         from modulation_mfcc_tpu.viz.panels import CurveSpec, PanelSpec, render_session
 

@@ -1,14 +1,16 @@
-"""Praat-style intensity (dB SPL) — pitch-floor-sized Kaiser window.
+"""Praat-style intensity (dB SPL) — pitch-floor-sized Kaiser-20 window.
 
 Replaces the reference's ``call(sound, "To Intensity", minPitch, timeStep, 1)``
 (script/mfcc.py:229-233, script/calc.py:156 via sound.to_intensity()):
 windowed mean square of the mean-subtracted signal, expressed in dB re
-2·10⁻⁵ Pa (auditory threshold), with an effective window of 3.2 periods of
-the minimum pitch and a very-low-sidelobe Kaiser (β=20) taper so F0 ripple
-stays below the dB floor.
+2·10⁻⁵ Pa (auditory threshold). Praat's conventions: the physical window
+spans 6.4 periods of the minimum pitch (twice the documented 3.2-period
+*effective* duration), tapered by the "Kaiser-20" window (β = 2π·3.2221888,
+sidelobes < -190 dB so F0 ripple stays below the dB floor), applied to the
+squared samples and normalized by the window sum.
 
 TPU formulation: one framed weighted-square reduction — frames [NF, nw] ×
-window² → matvec — entirely fused by XLA.
+window → matvec — entirely fused by XLA.
 """
 from __future__ import annotations
 
@@ -25,7 +27,7 @@ _HEARING_THRESHOLD_SQ = 4.0e-10  # (2e-5 Pa)^2
 
 
 def _geometry(n: int, sr: float, min_pitch: float, time_step: float):
-    win_dur = 3.2 / min_pitch
+    win_dur = 6.4 / min_pitch  # physical = 2 × the 3.2-period effective span
     nw = int(round(win_dur * sr))
     nw = min(max(nw, 2), n)
     hop = max(1, int(round(time_step * sr)))
@@ -41,7 +43,7 @@ def intensity_db(
     """Intensity contour [NF] in dB for 1-D x (interpreted as Pascal)."""
     n = x.shape[-1]
     nw, hop, nf, start0 = _geometry(n, sr, min_pitch, time_step)
-    w2 = np.kaiser(nw, 20.0) ** 2
+    w2 = np.kaiser(nw, 2.0 * np.pi * 3.2221888402924036)  # Praat kaiser20
     w2 = w2 / w2.sum()
     starts = start0 + np.arange(nf) * hop
     idx = jnp.asarray(starts[:, None] + np.arange(nw)[None, :])
