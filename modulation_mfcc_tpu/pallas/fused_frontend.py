@@ -82,6 +82,42 @@ def _mxu(x, w_ref, algorithm: str):
     )
 
 
+def _fold_kernel(main_ref, tail_ref, rmain_ref, rtail_ref, wc_ref, ws_ref,
+                 mel_ref, out_ref, bmax_ref, rows_vmem, rrev_vmem, *,
+                 blkf: int, hop: int, m: int, re_cols: int, im_cols: int,
+                 fold_widths: tuple, nf: int, algorithm: str, out_dtype):
+    """Folded real-DFT frontend step (see fused_mel_frontend): the t↔N−t
+    pairs of the windowed DFT are pre-added on the VPU (sum feeds the cosine
+    basis, difference the sine basis), halving the MXU contraction to
+    sup/2+1. The reversed operand comes from the lane-flipped hop-row array
+    (built once in XLA), so the in-kernel assembly is the same shifted-slice
+    pattern as the forward path — no in-kernel reversal."""
+    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+    rrev_vmem[:blkf] = rmain_ref[0].astype(rrev_vmem.dtype)
+    rrev_vmem[blkf:] = rtail_ref[0].astype(rrev_vmem.dtype)
+    s_parts, d_parts = [], []
+    for k, w_ in enumerate(fold_widths):
+        fwd = rows_vmem[k : k + blkf, :w_]
+        rev = rrev_vmem[m - 1 - k : m - 1 - k + blkf, :w_]
+        s_parts.append(fwd + rev)
+        d_parts.append(fwd - rev)
+    s = jnp.concatenate(s_parts, axis=-1)
+    d = jnp.concatenate(d_parts, axis=-1)
+    re = _mxu(s, wc_ref, algorithm)
+    im = _mxu(d, ws_ref, algorithm)
+    if im_cols < re_cols:
+        im = jnp.concatenate(
+            [im, jnp.zeros((blkf, re_cols - im_cols), jnp.float32)], axis=-1
+        )
+    p = re * re + im * im
+    mel = _mxu(p, mel_ref, algorithm)
+    out_ref[0] = mel.astype(out_dtype)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + pl.program_id(1) * blkf
+    mel_valid = jnp.where(rowid < nf, mel, 0.0)
+    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
             nf: int, algorithm: str, out_dtype, frame_mode: str = "concat"):
@@ -135,6 +171,7 @@ def fused_mel_frontend(
     out_dtype=jnp.float32,
     frame_mode: str = "concat",
     algorithm: str | None = None,
+    fold: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mel [B, NF_pad, n_mels], block_maxes [B, nj, 8, 128]) for audio [B, T].
 
@@ -142,9 +179,22 @@ def fused_mel_frontend(
     slice [:, :nf]. Centered framing (librosa center=True, zero pad).
     ``algorithm`` ∈ {'f32', 'x3', 'bf16'} (see module docstring); defaults
     from ``compute_dtype`` for backward compatibility.
+
+    ``fold`` enables the folded real-DFT: the t↔N−t symmetry of the real
+    input turns the windowed DFT into a cosine matmul on y[t]+y[N−t] and a
+    sine matmul on y[t]−y[N−t], HALVING the MXU contraction (K = sup/2+1
+    instead of sup). The pre-add needs the reversed samples — produced once
+    in XLA as a lane-flipped hop-row array (Mosaic has no in-kernel lane
+    reversal). Measured on v5e the fold LOSES despite the tile savings (the
+    second input stream + staging copy + split matmuls outweigh it:
+    16 kHz f32 24.2→24.6 ms, 10 kHz f32 16.7→20.4 ms per 128×30 s batch),
+    so it defaults OFF; the path is kept tested for geometries/hardware
+    where the MXU:bandwidth ratio differs.
     """
     if algorithm is None:
         algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
+    if fold is None:
+        fold = False
     if audio.ndim == 1:
         audio = audio[None, :]
     if hop > 128 and hop % 128:
@@ -158,6 +208,21 @@ def fused_mel_frontend(
     n_shift = -(-sup // hop)
     if n_shift > _TAIL_ROWS:
         raise ValueError(f"win/hop ratio {n_shift} exceeds tail buffer {_TAIL_ROWS}")
+    fold_ok = (
+        frame_mode == "concat"
+        and sup % hop == 0
+        and sup % 2 == 0
+        and sup // hop <= _TAIL_ROWS
+        and (n_fft // 2 - pw) >= 1
+    )
+    if fold:
+        if not fold_ok:
+            raise ValueError("fold=True unsupported for this geometry/algorithm")
+        return _folded_frontend(
+            audio, sr=sr, n_fft=n_fft, hop=hop, sup=sup, pw=pw, n_mels=n_mels,
+            fmin=fmin, fmax=fmax, blkf=blkf, algorithm=algorithm,
+            out_dtype=out_dtype,
+        )
     widths = tuple(min(hop, sup - k * hop) for k in range(n_shift))
     bsz, t = audio.shape
     pad = n_fft // 2
@@ -263,6 +328,127 @@ def fused_mel_frontend(
         ],
         scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
     )(audio_p, audio_p, wri_in, mel_in)
+    return mel_out, bmax
+
+
+def _folded_frontend(
+    audio, *, sr, n_fft, hop, sup, pw, n_mels, fmin, fmax, blkf, algorithm,
+    out_dtype,
+):
+    """Folded real-DFT mel frontend (see fused_mel_frontend docstring).
+
+    Index conventions (validated against numpy rfft to 1e-12):
+      z            = audio padded by eff_pad = n_fft/2 − pw on the left;
+                     frame f's window SUPPORT is z[f·hop : f·hop+sup].
+      rows[r][l]   = z[r·hop + l]                     (forward hop-rows)
+      rows_rev[r][λ] = z[r·hop + hop − λ]             (lane-flipped, 1-shift)
+      fold data    s/d[u] = z[a+u] ± z[a+sup−u], u ∈ [0, sup/2]; the u=0
+                   term carries window weight 0 (periodic Hann) and the
+                   u=sup/2 self-point gets a 0.5 cosine weight.
+      bases        C[u,b] = w[u]·cos(2πb(u+pw)/N) (·0.5 at u=sup/2),
+                   S[u,b] = −w[u]·sin(2πb(u+pw)/N).
+    When fmax > Nyquist (all bins live) the Nyquist column is packed into
+    the zero-weight DC column of the cosine matmul (both are re-only), so
+    re_cols stays at n_fft/2.
+    """
+    bsz, t = audio.shape
+    pad = n_fft // 2
+    eff_pad = pad - pw
+    m = sup // hop
+    nf = 1 + t // hop
+    nj = -(-nf // blkf)
+    nf_pad = nj * blkf
+    lane = max(hop, 128)
+    half = n_fft // 2
+    k_half = sup // 2 + 1
+    fold_widths = []
+    u0 = 0
+    while u0 < k_half:
+        fold_widths.append(min(hop, k_half - u0))
+        u0 += hop
+    fold_widths = tuple(fold_widths)
+
+    rows_total = (nj + 1) * blkf
+    total = rows_total * hop
+    audio_p = jnp.pad(audio, ((0, 0), (eff_pad, total - t - eff_pad)))
+    # rows_rev[r][λ] = z[r·hop + hop − λ]: reshape the 1-sample-left-shifted
+    # z into hop-rows and flip the lane axis (one fused XLA copy)
+    audio_r = jnp.pad(audio, ((0, 0), (eff_pad - 1, total - t - eff_pad + 1)))
+    if algorithm == "bf16":
+        audio_p = audio_p.astype(jnp.bfloat16)
+        audio_r = audio_r.astype(jnp.bfloat16)
+    audio_p = audio_p.reshape(bsz, rows_total, hop)
+    audio_r = jnp.flip(audio_r.reshape(bsz, rows_total, hop), axis=-1)
+    if hop < lane:
+        audio_p = jnp.pad(audio_p, ((0, 0), (0, 0), (0, lane - hop)))
+        audio_r = jnp.pad(audio_r, ((0, 0), (0, 0), (0, lane - hop)))
+
+    from modulation_mfcc_tpu.ops.windows import hann
+
+    w = np.zeros(k_half, np.float64)
+    w_full = hann(sup, periodic=True)
+    w[: sup // 2] = w_full[: sup // 2]
+    w[sup // 2] = 0.5 * w_full[sup // 2]
+    m_full = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    nz = np.flatnonzero(np.abs(m_full).sum(axis=0) > 0)
+    n_bins = int(nz[-1]) + 1 if nz.size else half + 1
+    u = np.arange(k_half)
+    b = np.arange(n_bins)
+    th = 2.0 * np.pi * np.outer(u + pw, b) / n_fft
+    C = (w[:, None] * np.cos(th)).astype(np.float64)
+    S = (-w[:, None] * np.sin(th)).astype(np.float64)
+    S[sup // 2, :] = 0.0  # self-point is cosine-only
+    packed = n_bins == half + 1 and half % 128 == 0 and nz.size and int(nz[0]) >= 1
+    if packed:
+        re_cols = half
+        C[:, 0] = C[:, half]  # Nyquist cosine column rides the DC slot
+        C = C[:, :half]
+        m_p = np.zeros((re_cols, n_mels), np.float32)
+        m_p[:half, :] = m_full.T[:half]
+        m_p[0, :] = m_full.T[half]
+    else:
+        re_cols = round_up_to_multiple(n_bins, 128)
+        C = np.pad(C, ((0, 0), (0, re_cols - n_bins)))
+        m_p = np.zeros((re_cols, n_mels), np.float32)
+        m_p[:n_bins, :] = m_full.T[:n_bins]
+    nb_im = min(n_bins, half)  # Nyquist im is identically zero
+    im_cols = round_up_to_multiple(nb_im, 128)
+    S = np.pad(S[:, :nb_im], ((0, 0), (0, im_cols - nb_im)))
+
+    wc_in = _stack_weights(C.astype(np.float32), algorithm)
+    ws_in = _stack_weights(S.astype(np.float32), algorithm)
+    mel_in = _stack_weights(m_p, algorithm)
+    kern = partial(
+        _fold_kernel, blkf=blkf, hop=hop, m=m, re_cols=re_cols,
+        im_cols=im_cols, fold_widths=fold_widths, nf=nf, algorithm=algorithm,
+        out_dtype=out_dtype,
+    )
+    ts_ = blkf // _TAIL_ROWS
+    mel_out, bmax = pl.pallas_call(
+        kern,
+        grid=(bsz, nj),
+        in_specs=[
+            pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TAIL_ROWS, lane), lambda b, j: (b, (j + 1) * ts_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TAIL_ROWS, lane), lambda b, j: (b, (j + 1) * ts_, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wc_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(ws_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
+            jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32),
+            pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32),
+        ],
+    )(audio_p, audio_p, audio_r, audio_r, wc_in, ws_in, mel_in)
     return mel_out, bmax
 
 

@@ -114,6 +114,33 @@ def test_x3_mode_accuracy_contract(audio):
     assert err > 1e-6  # sanity: reduced-precision mode, not the f32 path
 
 
+def test_folded_matches_unfolded(audio):
+    """The folded real-DFT path (two K=sup/2 matmuls on the t↔N−t sum and
+    difference) must agree with the direct path to f32 rounding."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    kw = dict(sr=16_000.0, n_fft=512, hop=80, win_length=400, n_mels=128,
+              fmin=100.0, fmax=8000.0)
+    with pltpu.force_tpu_interpret_mode():
+        mel_f, _ = fused_mel_frontend(audio, fold=True, **kw)
+        mel_u, _ = fused_mel_frontend(audio, fold=False, **kw)
+    mf, mu = np.asarray(mel_f), np.asarray(mel_u)
+    scale = np.abs(mu).max()
+    np.testing.assert_allclose(mf, mu, atol=1e-5 * scale)
+
+
+def test_fold_geometry_guard():
+    """fold=True with an incompatible geometry (window not a whole number
+    of hops) must raise rather than silently fall back."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    x = jnp.zeros((1, 8000), jnp.float32)
+    with pytest.raises(ValueError, match="fold"):
+        fused_mel_frontend(
+            x, sr=16_000.0, n_fft=512, hop=80, win_length=444, fold=True
+        )
+
+
 def test_fused_mfcc_masked_peak(audio):
     # frame_mask restricts the top_db peak to valid frames
     nf = 1 + audio.shape[-1] // 80
