@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from modulation_mfcc_tpu.io.wav import read_wav
+from modulation_mfcc_tpu.ops.framing import frame_by_slices
 from modulation_mfcc_tpu.ops.windows import gaussian
 
 __all__ = ["Sound", "Spectrogram", "load_sound", "praat_spectrogram"]
@@ -50,9 +51,8 @@ def load_sound(path: str) -> Sound:
 
 @partial(jax.jit, static_argnames=("sr", "nw", "hop", "n_fft"))
 def _spec_power(x, sr, nw, hop, n_fft):
-    starts = np.arange(0, x.shape[-1] - nw + 1, hop)
-    idx = jnp.asarray(starts[:, None] + np.arange(nw)[None, :])
-    frames = x[idx]
+    nf = 1 + (x.shape[-1] - nw) // hop
+    frames = frame_by_slices(x, 0, nf, nw, hop)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     w = jnp.asarray(gaussian(nw, nw / 6.0), dtype=x.dtype)
     spec = jnp.fft.rfft(frames * w, n=n_fft, axis=-1)

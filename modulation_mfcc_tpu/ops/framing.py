@@ -1,7 +1,9 @@
 """Signal framing for STFT-style analysis (device-side, JAX).
 
-TPU-first design note: framing is a static-shape gather ``x[starts + iota]``
-that XLA lowers to a single fused gather; no Python loops, no dynamic shapes.
+TPU-first design note: frame grids here are always regular (start0 + k*hop),
+so the frame matrix assembles from contiguous strided slices
+(``frame_by_slices``) — plain DMA copies — rather than the naive
+``x[starts + iota]`` gather, which is markedly slower through HBM on TPU.
 Frame counts/time anchors are computed host-side from static lengths.
 
 Semantics match librosa's centered STFT framing used by the reference's MFCC
@@ -13,12 +15,49 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
 def n_frames_centered(n_samples: int, n_fft: int, hop: int) -> int:
     """Number of STFT frames for a centered transform (librosa convention)."""
     return 1 + (n_samples + 2 * (n_fft // 2) - n_fft) // hop
+
+
+def frame_by_slices(
+    x: jnp.ndarray, start0: int, n_frames: int, frame_length: int, hop: int
+) -> jnp.ndarray:
+    """Overlapping frames ``F[..., k, i] = x[..., start0 + k*hop + i]`` built
+    from contiguous strided slices instead of a gather.
+
+    TPU-first: the gather ``x[starts + iota]`` forces XLA into a row-by-row
+    gather through HBM; the same matrix assembles from ``ceil(W/hop)``
+    *contiguous* slices — column block ``c`` of all frames is the slice
+    ``x[start0 + c*hop :][: n_frames*hop]`` reshaped to ``[n_frames, hop]``
+    — which lowers to plain DMA copies (the fused Pallas front-end uses the
+    identical trick in-kernel, pallas/fused_frontend.py). Element-for-element
+    identical to the gather; requires
+    ``start0 + (n_frames-1)*hop + frame_length <= x.shape[-1]``.
+    """
+    W, H, nf = int(frame_length), int(hop), int(n_frames)
+    n = x.shape[-1]
+    if start0 + (nf - 1) * H + W > n:
+        raise ValueError("frame_by_slices: frames read past the signal end")
+    C = -(-W // H)  # ceil: column blocks of width H
+    # zero-pad so every column block can take a full [nf*H] slice (the
+    # padded tail only lands in trimmed columns >= W, never in the output)
+    need = start0 + (C - 1) * H + nf * H
+    if need > n:
+        cfg = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
+        x = jnp.pad(x, cfg)
+    blocks = [
+        jax.lax.slice_in_dim(x, start0 + c * H, start0 + c * H + nf * H, axis=-1).reshape(
+            x.shape[:-1] + (nf, H)
+        )
+        for c in range(C)
+    ]
+    frames = blocks[0] if C == 1 else jnp.concatenate(blocks, axis=-1)
+    return frames[..., :W]
 
 
 def frame_signal(
@@ -53,9 +92,7 @@ def frame_signal(
         raise ValueError(
             f"Signal of length {n} too short for frame_length={frame_length}"
         )
-    # Static index matrix: [nf, frame_length]
-    idx = np.arange(nf)[:, None] * hop + np.arange(frame_length)[None, :]
-    return x[..., idx]
+    return frame_by_slices(x, 0, nf, frame_length, hop)
 
 
 def frame_times_mfcc(n_frames: int, t_step: float, win_len: float) -> np.ndarray:

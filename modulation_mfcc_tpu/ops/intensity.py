@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from modulation_mfcc_tpu.ops.framing import frame_by_slices
+
 __all__ = ["intensity_db", "intensity_times"]
 
 _HEARING_THRESHOLD_SQ = 4.0e-10  # (2e-5 Pa)^2
@@ -45,9 +47,7 @@ def intensity_db(
     nw, hop, nf, start0 = _geometry(n, sr, min_pitch, time_step)
     w2 = np.kaiser(nw, 2.0 * np.pi * 3.2221888402924036)  # Praat kaiser20
     w2 = w2 / w2.sum()
-    starts = start0 + np.arange(nf) * hop
-    idx = jnp.asarray(starts[:, None] + np.arange(nw)[None, :])
-    frames = x[..., idx]
+    frames = frame_by_slices(x, start0, nf, nw, hop)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     ms = frames**2 @ jnp.asarray(w2, dtype=x.dtype)
     return 10.0 * jnp.log10(jnp.maximum(ms / _HEARING_THRESHOLD_SQ, 1e-30))

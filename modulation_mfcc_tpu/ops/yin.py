@@ -29,6 +29,8 @@ import scipy.stats
 import jax
 import jax.numpy as jnp
 
+from modulation_mfcc_tpu.ops.framing import frame_by_slices
+
 __all__ = ["pyin_f0", "yin_cmndf"]
 
 
@@ -43,9 +45,11 @@ def yin_cmndf(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     csum = jnp.cumsum(frames**2, axis=-1)
     total = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
     tau = np.arange(max_lag + 1)
-    idx = jnp.asarray(tau)
     e0 = (total[..., w] - total[..., 0])[..., None]
-    e_tau = jnp.take(total, idx + w, axis=-1) - jnp.take(total, idx, axis=-1)
+    # consecutive indices -> contiguous slices, not gathers
+    e_tau = jax.lax.slice_in_dim(total, w, w + max_lag + 1, axis=-1) - jax.lax.slice_in_dim(
+        total, 0, max_lag + 1, axis=-1
+    )
     # cross terms Σ_j x_j·x_{j+τ} via rFFT cross-correlation of the first W
     # samples against the whole frame
     nfft = int(2 ** np.ceil(np.log2(2 * n)))
@@ -129,9 +133,7 @@ def pyin_f0(
     else:
         xp = x
         nf = max(1, 1 + (n - frame_length) // hop_length)
-    starts = np.arange(nf) * hop_length
-    idx = jnp.asarray(starts[:, None] + np.arange(frame_length)[None, :])
-    frames = xp[idx]
+    frames = frame_by_slices(xp, 0, nf, frame_length, hop_length)
 
     max_lag = win_length
     cm = yin_cmndf(frames, max_lag)  # [NF, max_lag+1]

@@ -144,3 +144,29 @@ def test_extract_envelope_rmspraat():
     assert 40 < np.median(amp) < 110
     # min observed pitch ~150 > 120 → hop-rate output (1/hopLen = 100 Hz)
     assert len(amp) < sr / 50
+
+
+def test_rms_envelope_fallback_tiny_hop(rng):
+    # hop=1 forces the gathered-framing fallback (W/hop > 64); both paths
+    # must agree with the direct construction
+    y = rng.standard_normal(500)
+    win, hop = 100, 1
+    pad = win // 2
+    ypad = np.pad(y, pad)
+    nf = 1 + (len(ypad) - win) // hop
+    want = np.array([
+        np.sqrt(np.mean(ypad[i * hop : i * hop + win] ** 2)) for i in range(nf)
+    ])
+    got = np.asarray(rms_envelope(jnp.asarray(y), win, hop))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_frame_by_slices_offset_grid(rng):
+    from modulation_mfcc_tpu.ops.framing import frame_by_slices
+
+    y = rng.standard_normal((2, 777))
+    s0, W, H = 13, 64, 10
+    nf = (y.shape[-1] - s0 - W) // H
+    got = np.asarray(frame_by_slices(jnp.asarray(y), s0, nf, W, H))
+    want = np.stack([y[..., s0 + k * H : s0 + k * H + W] for k in range(nf)], axis=-2)
+    np.testing.assert_array_equal(got, want)

@@ -152,3 +152,20 @@ def test_fused_mfcc_masked_peak(audio):
             frame_mask=jnp.asarray(mask),
         )
     assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_pallas_burg_matches_xla():
+    # the VMEM Burg kernel (pallas/burg.py) == the XLA reference recursion
+    from modulation_mfcc_tpu.ops.lpc import burg_lpc
+    from modulation_mfcc_tpu.pallas.burg import burg_lpc_pallas, burg_reflections
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((3, 41, 213)).astype(np.float32) * 0.3)
+    want = np.asarray(burg_lpc(frames, 10))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(burg_lpc_pallas(frames, 10))
+        ks = np.asarray(burg_reflections(frames, 10))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert ks.shape == (3, 41, 10)
+    # reflection coefficients are bounded by 1 for any real frame
+    assert np.all(np.abs(ks) <= 1.0 + 1e-5)
