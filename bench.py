@@ -65,11 +65,51 @@ def _throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> floa
     return batch * seconds / 3600.0 / best
 
 
+def _tracker_throughput(batch: int, seconds: float, n_super: int) -> float:
+    """Praat-class tracker sweep (f0 ac + formants + RMS envelope +
+    intensity) in one jitted program — audio-h/s/chip at 10 kHz."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.models.envelope import rms_envelope
+    from modulation_mfcc_tpu.ops.intensity import intensity_db
+    from modulation_mfcc_tpu.ops.lpc import lpc_formants
+    from modulation_mfcc_tpu.ops.pitch import pitch_ac
+
+    sr = 10_000
+    t_pad = int(seconds * sr)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    gen = jax.jit(lambda k: jax.random.normal(k, (n_super, batch, t_pad), jnp.float32))
+    xs = [gen(k) for k in keys]
+
+    def one(y):
+        f0 = pitch_ac(y, sr=float(sr))
+        fr, _ = lpc_formants(y, sr=float(sr))
+        env = rms_envelope(y, 250, 50)
+        idb = intensity_db(y, sr=float(sr))
+        return jnp.sum(f0) + jnp.nansum(fr) + jnp.sum(env) + jnp.sum(idb)
+
+    @jax.jit
+    def many(stack):
+        return jax.lax.map(lambda xb: jnp.sum(jax.vmap(one)(xb)), stack)
+
+    for x in xs:
+        float(jnp.sum(x))
+    float(jnp.sum(many(xs[0])))
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(many(xs[(trial + 1) % 2])))
+        best = min(best, (time.perf_counter() - t0) / n_super)
+    return batch * seconds / 3600.0 / best
+
+
 def main() -> None:
     batch, seconds, n_super = 128, 30.0, 8
     bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
     f32 = _throughput("pallas", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
+    trackers = _tracker_throughput(16, seconds, 4)
     per_chip_target = 500.0 / 8.0
     print(
         json.dumps(
@@ -80,6 +120,7 @@ def main() -> None:
                 "vs_baseline": round(bf16 / per_chip_target, 4),
                 "f32_parity_mode": round(f32, 3),
                 "f32_x3_mode": round(x3, 3),
+                "tracker_sweep": round(trackers, 3),
             }
         )
     )

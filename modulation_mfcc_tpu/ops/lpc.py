@@ -153,8 +153,12 @@ def lpc_formants(
     # keep positive-frequency formant roots in the valid band
     valid = (freq > 50.0) & (freq < max_formant - 50.0) & (ang > 0)
     freq = jnp.where(valid, freq, jnp.inf)
-    orderv = jnp.argsort(freq, axis=-1)
-    freq_sorted = jnp.take_along_axis(freq, orderv, axis=-1)[..., : order // 2]
-    bw_sorted = jnp.take_along_axis(bw, orderv, axis=-1)[..., : order // 2]
+    # co-sort (freq, bw) with a multi-operand sort network — argsort +
+    # take_along_axis costs two [NF, p]-element gathers, which measure
+    # ~9 ms each on v5e at tracker scale (same finding as ops/pitch.py's
+    # candidate readoff); lax.sort permutes the carried bw in-network.
+    freq_sorted, bw_sorted = jax.lax.sort((freq, bw), dimension=-1, num_keys=1)
+    freq_sorted = freq_sorted[..., : order // 2]
+    bw_sorted = bw_sorted[..., : order // 2]
     freq_out = jnp.where(jnp.isfinite(freq_sorted), freq_sorted, jnp.nan)
     return freq_out, bw_sorted

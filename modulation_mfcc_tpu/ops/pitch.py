@@ -100,32 +100,51 @@ def _refine_sinc_dense(
     w = jnp.asarray(_sinc_weights(offs, depth), dtype=r_ext.dtype)  # [S, G]
     S = 2 * depth + 3
     nl = lag_max + 1
-    # windows[..., l, s] = r_ext[..., ext_left + l - (depth+1) + s]
-    windows = frame_by_slices(r_ext, ext_left - (depth + 1), nl, S, 1)
-    interp = jax.lax.dot_general(
-        windows,
-        w,
-        (((windows.ndim - 1,), (0,)), ((), ())),
+    # The interpolant at every (lag, offset) pair is a 1-D correlation of
+    # r_ext along the lag axis with the G weight rows: out[..., g, l] =
+    # Σ_s r_ext[..., start + l + s]·w[s, g]. Expressed as
+    # conv_general_dilated this never materializes the [..., nl, S]
+    # windows tensor (an earlier windows@w formulation built it from
+    # hop-1 slices — a ~2 GB strided concat at tracker scale, measured
+    # ~19 ms slower on v5e for 16×30 s); the MXU does the im2col
+    # implicitly. Bit-identical to the windows matmul (verified 0.0).
+    lead = r_ext.shape[:-1]
+    start = ext_left - (depth + 1)
+    x = r_ext.reshape(-1, 1, r_ext.shape[-1])  # [N, C=1, L]
+    x = jax.lax.slice_in_dim(x, start, start + nl + S - 1, axis=-1)
+    kern = w.T[:, None, :]  # [G out, 1 in, S]
+    interp = jax.lax.conv_general_dilated(
+        x,
+        kern,
+        (1,),
+        "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST,
-    )  # [..., nl, G]
-    # interior argmax (offsets ±1 are the neighboring integer samples —
-    # each lag is refined as if it were a discrete local max, so the
-    # parabola always has both neighbors)
-    imax = jnp.argmax(interp[..., 1:-1], axis=-1) + 1  # [..., nl]
+    ).reshape(*lead, grid, nl)  # [..., G, nl] — conv's native layout, kept
+    # interior argmax over the offset grid (offsets ±1 are the neighboring
+    # integer samples — each lag is refined as if it were a discrete local
+    # max, so the parabola always has both neighbors)
+    imax = jnp.argmax(interp[..., 1:-1, :], axis=-2) + 1  # [..., nl]
     # neighbor extraction WITHOUT take_along_axis (even small element
     # gathers are slow on TPU): three shifted one-hot masks, fused by XLA
     # into a single traversal of interp
-    g = jnp.arange(interp.shape[-1])
-    oh = (g == imax[..., None]).astype(interp.dtype)
-    f0 = jnp.sum(interp * oh, axis=-1)
-    fm = jnp.sum(jax.lax.slice_in_dim(interp, 0, -1, axis=-1) * oh[..., 1:], axis=-1)
-    fp = jnp.sum(jax.lax.slice_in_dim(interp, 1, None, axis=-1) * oh[..., :-1], axis=-1)
+    g = jnp.arange(grid)
+    oh = (g[:, None] == imax[..., None, :]).astype(interp.dtype)  # [..., G, nl]
+    f0 = jnp.sum(interp * oh, axis=-2)
+    fm = jnp.sum(
+        jax.lax.slice_in_dim(interp, 0, -1, axis=-2) * oh[..., 1:, :], axis=-2
+    )
+    fp = jnp.sum(
+        jax.lax.slice_in_dim(interp, 1, None, axis=-2) * oh[..., :-1, :], axis=-2
+    )
     denom = fm - 2.0 * f0 + fp
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (fm - fp) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
     h = float(offs[1] - offs[0])  # python float: no f64 promotion under x64
     lag_grid = jnp.arange(nl, dtype=r_ext.dtype)
-    off_at_max = jnp.sum(oh * jnp.asarray(offs, dtype=r_ext.dtype), axis=-1)
+    off_at_max = jnp.sum(
+        oh * jnp.asarray(offs, dtype=r_ext.dtype)[:, None], axis=-2
+    )
     pos = lag_grid + off_at_max + delta * h
     val = f0 - 0.25 * (fm - fp) * delta
     return pos, val
@@ -147,6 +166,7 @@ def _refine_sinc_dense(
         "voiced_unvoiced_cost",
         "periods_per_window",
         "very_accurate",
+        "ac_engine",
     ),
 )
 def pitch_ac(
@@ -165,6 +185,7 @@ def pitch_ac(
     voiced_unvoiced_cost: float = 0.14,
     periods_per_window: float = 3.0,
     very_accurate: bool = False,
+    ac_engine: str = "auto",
     valid_len=None,
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz (0 where unvoiced) for a 1-D signal.
@@ -174,6 +195,11 @@ def pitch_ac(
     1-period window and plain normalized cross-correlation.
     ``very_accurate`` doubles the 'ac' window (Gaussian taper) and deepens
     the sinc lag refinement, following Praat's veryAccurate flag.
+
+    ``ac_engine``: 'auto' (MXU real-DFT matmul autocorrelation on TPU, FFT
+    elsewhere), 'mxu', or 'fft'. The two compute the same zero-padded
+    autocorrelation; they differ only in float reduction order (f0 deltas
+    ~1e-3 Hz, tested).
     """
     if method == "cc":
         periods_per_window = 1.0
@@ -234,16 +260,58 @@ def pitch_ac(
             imid = 0.5 * (nw + 1)
             edge = np.exp(-12.0)
             w_np = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
-            w = jnp.asarray(w_np, dtype=x.dtype)
         else:
-            w = jnp.asarray(hann(nw, periodic=False), dtype=x.dtype)
+            w_np = np.asarray(hann(nw, periodic=False), dtype=np.float64)
+        w = jnp.asarray(w_np, dtype=x.dtype)
         fw = fr * w
-        spec = jnp.fft.rfft(fw, n=nfft, axis=-1)
-        ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : lag_hi + 1]
+        use_mxu = ac_engine == "mxu" or (
+            ac_engine == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_mxu:
+            # MXU real-DFT autocorrelation: power spectrum as one
+            # [NF, nw] x [nw, 2K] matmul, then the inverse transform
+            # restricted to the lag_hi+1 lags actually needed as a second
+            # [NF, K] x [K, lag_hi+1] cosine matmul. Mathematically equal
+            # to rfft->|.|^2->irfft (same nfft zero-padding); on v5e the
+            # two HIGHEST-precision matmuls replace ~20 ms of batched
+            # 1024-pt FFTs with ~2 ms of MXU work for 16x30 s @10 kHz.
+            kbins = nfft // 2 + 1
+            ii = np.arange(nw, dtype=np.float64)
+            kk = np.arange(kbins, dtype=np.float64)
+            ang = 2.0 * np.pi * np.outer(ii, kk) / nfft
+            cs = jnp.asarray(
+                np.concatenate([np.cos(ang), np.sin(ang)], axis=1), dtype=x.dtype
+            )  # [nw, 2K]
+            proj = jax.lax.dot_general(
+                fw, cs, (((fw.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            power = proj[..., :kbins] ** 2 + proj[..., kbins:] ** 2
+            wk = np.full(kbins, 2.0)
+            wk[0] = 1.0
+            if nfft % 2 == 0:
+                wk[-1] = 1.0
+            tt = np.arange(lag_hi + 1, dtype=np.float64)
+            ct = np.cos(2.0 * np.pi * np.outer(kk, tt) / nfft) * wk[:, None] / nfft
+            ctj = jnp.asarray(ct, dtype=x.dtype)  # [K, lag_hi+1]
+            ac = jax.lax.dot_general(
+                power, ctj, (((power.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # window autocorrelation: same construction host-side in f64
+            wf = np.fft.rfft(w_np, n=nfft)
+            wac = np.fft.irfft(wf * np.conj(wf), n=nfft)[: lag_hi + 1]
+        else:
+            spec = jnp.fft.rfft(fw, n=nfft, axis=-1)
+            ac = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : lag_hi + 1]
+            wspec = jnp.fft.rfft(w, n=nfft)
+            wacj = jnp.fft.irfft(wspec * jnp.conj(wspec), n=nfft)[: lag_hi + 1]
+            wac = None
         r_full = ac / (ac[..., :1] + 1e-30)
-        wspec = jnp.fft.rfft(w, n=nfft)
-        wac = jnp.fft.irfft(wspec * jnp.conj(wspec), n=nfft)[: lag_hi + 1]
-        rw = wac / (wac[0] + 1e-30)
+        if wac is not None:
+            rw = jnp.asarray(wac / (wac[0] + 1e-30), dtype=x.dtype)
+        else:
+            rw = wacj / (wacj[0] + 1e-30)
         r_full = r_full / jnp.maximum(rw, 1e-6)
         r = r_full[..., : lag_max + 1]
     else:
@@ -300,12 +368,17 @@ def pitch_ac(
         [jnp.flip(r_full[..., 1 : ext_left + 1], axis=-1), r_full], axis=-1
     )
     pos_l, val_l = _refine_sinc_dense(r_ext, ext_left, lag_max, depth)
-    top_lag = jnp.take_along_axis(pos_l, top_i, axis=-1)
-    val_sinc = jnp.take_along_axis(val_l, top_i, axis=-1)
+    # candidate readoff via one-hot contraction, not take_along_axis:
+    # three [NF, k]-element gathers measured ~9 ms EACH on v5e (16×30 s)
+    # — more than the whole FFT autocorrelation — while the fused one-hot
+    # reduction over [NF, k, nl] is ~1 ms for all three quantities.
+    ohc = (top_i[..., None] == lags).astype(r.dtype)  # [NF, k, nl]
+    top_lag = jnp.sum(ohc * pos_l[..., None, :], axis=-1)
+    val_sinc = jnp.sum(ohc * val_l[..., None, :], axis=-1)
     tau_top = top_lag / sr
     top_s = val_sinc - octave_cost * jnp.log2(jnp.maximum(min_pitch * tau_top, 1e-12))
     # candidates whose selection slot was empty (score -inf) stay invalid
-    was_cand = jnp.take_along_axis(is_max, top_i, axis=-1)
+    was_cand = jnp.sum(ohc * is_max[..., None, :], axis=-1) > 0.5
     freqs = jnp.where(was_cand, sr / jnp.maximum(top_lag, 1e-6), 0.0)
     # clamp out-of-range candidates to unvoiced
     valid = was_cand & (freqs > min_pitch * 0.99) & (freqs < max_pitch * 1.01)
@@ -355,5 +428,8 @@ def pitch_ac(
 
     _, path_rev = jax.lax.scan(back_step, last, backptrs, reverse=True)
     path = jnp.concatenate([path_rev, jnp.asarray([last])]) if nf > 1 else jnp.asarray([last])
-    f0 = jnp.take_along_axis(all_freq, path[:, None], axis=-1)[:, 0]
+    # one-hot readoff (same rationale as the candidate readoff above)
+    f0 = jnp.sum(
+        jnp.where(path[:, None] == jnp.arange(k_tot), all_freq, 0.0), axis=-1
+    )
     return f0

@@ -195,3 +195,16 @@ def test_intensity_db_scale():
     # scaling by 10x = +20 dB
     db2 = np.asarray(intensity_db(jnp.asarray(0.1 * y, dtype=jnp.float32), sr=SR, min_pitch=100.0))
     assert abs(np.median(db) - np.median(db2) - 20.0) < 0.1
+
+
+def test_pitch_ac_engines_agree(speechlike):
+    # the MXU real-DFT autocorrelation computes the same zero-padded
+    # autocorrelation as the FFT path; tracks must agree to far below the
+    # tracker's own precision (voicing decisions identical on this signal)
+    y, sr = speechlike
+    xj = jnp.asarray(y, dtype=jnp.float32)
+    f_fft = np.asarray(pitch_ac(xj, sr=float(sr), ac_engine="fft"))
+    f_mxu = np.asarray(pitch_ac(xj, sr=float(sr), ac_engine="mxu"))
+    assert ((f_fft > 0) == (f_mxu > 0)).all()
+    v = f_fft > 0
+    np.testing.assert_allclose(f_mxu[v], f_fft[v], atol=0.05)
