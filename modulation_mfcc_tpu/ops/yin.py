@@ -138,15 +138,21 @@ def pyin_f0(
     max_lag = win_length
     cm = yin_cmndf(frames, max_lag)  # [NF, max_lag+1]
 
-    lag = np.arange(max_lag + 1)
     min_lag = max(2, int(np.floor(sr / fmax)))
     max_lag_f0 = min(max_lag - 1, int(np.ceil(sr / fmin)))
-    in_range = jnp.asarray((lag >= min_lag) & (lag <= max_lag_f0))
-
-    # troughs: local minima of the CMNDF within the lag range
-    left = jnp.pad(cm, ((0, 0), (1, 0)), constant_values=jnp.inf)[..., :-1]
-    right = jnp.pad(cm, ((0, 0), (0, 1)), constant_values=jnp.inf)[..., 1:]
-    is_trough = (cm < left) & (cm <= right) & in_range[None, :]
+    # All troughs live in the static lag band [min_lag, max_lag_f0] — the
+    # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
+    # the full lag axis (L≈frame_length/2) that is ~GBs per utterance and
+    # crashes the TPU compiler; on the band (L≈120 at default fmin/fmax)
+    # the same computation is exact and two orders of magnitude smaller.
+    # Neighbors for the trough test/parabola come from the band ±1 slice.
+    band = jax.lax.slice_in_dim(cm, min_lag - 1, max_lag_f0 + 2, axis=-1)
+    cmb = band[..., 1:-1]  # [NF, L] lags min_lag..max_lag_f0
+    lag = np.arange(min_lag, max_lag_f0 + 1)
+    left = band[..., :-2]
+    right = band[..., 2:]
+    is_trough = (cmb < left) & (cmb <= right)
+    cm = cmb
 
     # parabolic refinement of trough lag/value
     denom = left - 2 * cm + right
@@ -170,10 +176,14 @@ def pyin_f0(
     contrib = jnp.where(below, prior, 0.0) * beta_probs[:, None, None]
     probs = jnp.sum(contrib, axis=0)  # [NF, L]
 
-    # thresholds with no trough → no_trough_prob mass at the global min
+    # thresholds with no trough → no_trough_prob mass at the global minimum
+    # of the RAW band CMNDF (librosa pyin's yin_frames.argmin; the earlier
+    # argmin over the inf-masked trough array made troughless frames pick
+    # index 0, whose NaN parabola cast to bin 0 = fmin — a silent-frame
+    # artifact the r2 golden had pinned)
     any_below = (n_below[..., 0] > 0)  # [n_thr, NF]
     miss_mass = jnp.sum(jnp.where(any_below, 0.0, beta_probs[:, None]), axis=0)  # [NF]
-    gmin = jnp.argmin(big_val, axis=-1)
+    gmin = jnp.argmin(cm, axis=-1)
     probs = probs + no_trough_prob * miss_mass[:, None] * jax.nn.one_hot(gmin, probs.shape[-1], dtype=cm.dtype)
 
     freqs = sr / jnp.maximum(lag_ref, 1e-6)
@@ -185,8 +195,10 @@ def pyin_f0(
         0,
         n_bins - 1,
     )
-    obs_v = jax.vmap(lambda p, b: jnp.zeros((n_bins,), dtype=cm.dtype).at[b].add(p))(
-        probs, jnp.broadcast_to(bin_idx, probs.shape)
+    # bin projection as a fused one-hot reduction (scatter-add lowers to a
+    # slow sort-based scatter on TPU; the compare-multiply-reduce fuses)
+    obs_v = jnp.sum(
+        probs[..., None] * (bin_idx[..., None] == jnp.arange(n_bins)), axis=-2
     )
     voiced_prob = jnp.clip(jnp.sum(obs_v, axis=-1), 0.0, 1.0)
     obs_u = jnp.broadcast_to(((1.0 - voiced_prob) / n_bins)[:, None], obs_v.shape)
