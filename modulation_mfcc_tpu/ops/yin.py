@@ -51,8 +51,12 @@ def yin_cmndf(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
         total, 0, max_lag + 1, axis=-1
     )
     # cross terms Σ_j x_j·x_{j+τ} via rFFT cross-correlation of the first W
-    # samples against the whole frame
-    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    # samples against the whole frame. No aliasing as long as
+    # nfft ≥ W + max_lag: every product index j+τ < W + max_lag stays
+    # inside one period, so the circular correlation equals the linear one
+    # on the lags read below (the previous 2·n sizing was 2× oversized —
+    # the FFTs are the dominant pyin cost on TPU).
+    nfft = int(2 ** np.ceil(np.log2(max(n, w + max_lag))))
     spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
     specw = jnp.fft.rfft(frames[..., :w], n=nfft, axis=-1)
     cross = jnp.fft.irfft(jnp.conj(specw) * spec, n=nfft, axis=-1)[..., : max_lag + 1]
@@ -133,13 +137,17 @@ def pyin_f0(
     else:
         xp = x
         nf = max(1, 1 + (n - frame_length) // hop_length)
-    frames = frame_by_slices(xp, 0, nf, frame_length, hop_length)
-
-    max_lag = win_length
-    cm = yin_cmndf(frames, max_lag)  # [NF, max_lag+1]
-
     min_lag = max(2, int(np.floor(sr / fmax)))
-    max_lag_f0 = min(max_lag - 1, int(np.ceil(sr / fmin)))
+    max_lag_f0 = min(win_length - 1, int(np.ceil(sr / fmin)))
+    # CMNDF is only read through lag max_lag_f0+1 (the band's right
+    # neighbor), and d(τ≤L) touches samples x[j<W+L] only — so build the
+    # frames W+L wide on the same grid and compute L+1 lags instead of
+    # win_length+1. Exact (yin_cmndf derives W = n − max_lag, preserved by
+    # construction); at the 10 kHz defaults this shrinks the difference
+    # function ~7.5× and halves the correlation FFT (nfft 4096→2048).
+    ml = max_lag_f0 + 1
+    frames = frame_by_slices(xp, 0, nf, min(win_length + ml, frame_length), hop_length)
+    cm = yin_cmndf(frames, ml)  # [NF, ml+1]
     # All troughs live in the static lag band [min_lag, max_lag_f0] — the
     # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
     # the full lag axis (L≈frame_length/2) that is ~GBs per utterance and
