@@ -41,6 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--batch-size", type=int, default=32)
     sw.add_argument("--spectrum", default="pallas",
                     choices=("fft", "matmul", "pallas", "pallas_x3", "pallas_bf16"))
+    sw.add_argument("--features", default="mod_cepstr",
+                    help="comma list: mod_cepstr, mfcc39, f0, envelope")
     sw.add_argument("--no-resume", action="store_true")
     sw.add_argument("--num-shards", type=int, default=1,
                     help="multi-process scale-out: total manifest shards")

@@ -83,6 +83,11 @@ def run_sweep(args) -> int:
         batch_size=args.batch_size,
         spectrum=args.spectrum,
         resume=not args.no_resume,
+        features=tuple(
+            f.strip()
+            for f in getattr(args, "features", "mod_cepstr").split(",")
+            if f.strip()
+        ),
     )
     report = sweep_mfcc_change(paths, sweep)
     print(json.dumps(report))

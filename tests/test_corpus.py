@@ -98,3 +98,19 @@ def test_sweep_resume_and_isolation(tmp_path):
     assert r2["items"] == 2  # only the two new ones
     done = (out / "_done.txt").read_text().splitlines()
     assert len(done) == 4
+
+
+def test_cli_sweep_features_flag(tmp_path):
+    """`cli sweep --features` plumbs the comma list into CorpusSweep."""
+    from modulation_mfcc_tpu.cli import main as cli_main
+
+    paths = _mk_corpus(tmp_path, n=2)
+    out = tmp_path / "feats"
+    rc = cli_main([
+        "sweep", *paths, "--out", str(out), "--spectrum", "fft",
+        "--features", "mod_cepstr,f0", "--batch-size", "2",
+    ])
+    assert rc in (0, None)
+    rec = np.load(out / "utt0.npz")
+    assert {"mod_cepstr", "f0", "f0_times"} <= set(rec.keys())
+    assert "envelope" not in rec
