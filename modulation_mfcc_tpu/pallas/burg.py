@@ -44,11 +44,11 @@ from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 __all__ = ["burg_reflections", "burg_lpc_pallas"]
 
 
-def _burg_kernel(fr_ref, out_ref, *, nw: int, order: int):
+def _burg_kernel(fr_ref, out_ref, *, nw: int, order: int, levinson: bool):
     f = fr_ref[...]
     b = f
     lane = jax.lax.broadcasted_iota(jnp.int32, f.shape, 1)
-    ks = []
+    cols = []  # reflection coefficients k_m, or LPC columns a_i (levinson)
     for m in range(order):
         lm = nw - 1 - m  # valid length of the shifted arrays at step m
         mask = lane < lm
@@ -62,13 +62,22 @@ def _burg_kernel(fr_ref, out_ref, *, nw: int, order: int):
             jnp.where(mask, fk + k * b, 0.0),
             jnp.where(mask, b + k * fk, 0.0),
         )
-        ks.append(k)
+        if levinson:
+            # Levinson update as per-column register ops — the same
+            # recursion as levinson_from_reflections, but the [.., p]
+            # .at[] updates it used in XLA cost ~9 ms at tracker scale
+            # (tiny dynamic-update-slices), ~free here
+            cols = [cols[i] + k * cols[m - 1 - i] for i in range(m)] + [k]
+        else:
+            cols.append(k)
     pad = jnp.zeros((f.shape[0], out_ref.shape[-1] - order), dtype=f.dtype)
-    out_ref[...] = jnp.concatenate(ks + [pad], axis=1)
+    out_ref[...] = jnp.concatenate(cols + [pad], axis=1)
 
 
-def burg_reflections(frames: jnp.ndarray, order: int, blkf: int = 256) -> jnp.ndarray:
-    """Reflection coefficients k_1..k_p [..., order] for frames [..., nw].
+def _burg_call(
+    frames: jnp.ndarray, order: int, blkf: int, levinson: bool
+) -> jnp.ndarray:
+    """Run the VMEM recursion blockwise; [..., order] of k_m (or a_m).
 
     Frames are flattened over leading axes, zero-padded to [M_pad, nw_pad]
     (lane/sublane tiles), and processed blockwise with the recursion in
@@ -81,7 +90,7 @@ def burg_reflections(frames: jnp.ndarray, order: int, blkf: int = 256) -> jnp.nd
     nwp = round_up_to_multiple(nw, 128)
     mp = round_up_to_multiple(max(m_tot, blkf), blkf)
     flat = jnp.pad(flat, ((0, mp - m_tot), (0, nwp - nw)))
-    kern = partial(_burg_kernel, nw=nw, order=order)
+    kern = partial(_burg_kernel, nw=nw, order=order, levinson=levinson)
     out = pl.pallas_call(
         kern,
         grid=(mp // blkf,),
@@ -90,6 +99,11 @@ def burg_reflections(frames: jnp.ndarray, order: int, blkf: int = 256) -> jnp.nd
         out_shape=jax.ShapeDtypeStruct((mp, 128), jnp.float32),
     )(flat)
     return out[:m_tot, :order].reshape(*lead, order)
+
+
+def burg_reflections(frames: jnp.ndarray, order: int, blkf: int = 256) -> jnp.ndarray:
+    """Reflection coefficients k_1..k_p [..., order] for frames [..., nw]."""
+    return _burg_call(frames, order, blkf, levinson=False)
 
 
 def levinson_from_reflections(ks: jnp.ndarray) -> jnp.ndarray:
@@ -108,5 +122,6 @@ def levinson_from_reflections(ks: jnp.ndarray) -> jnp.ndarray:
 
 
 def burg_lpc_pallas(frames: jnp.ndarray, order: int) -> jnp.ndarray:
-    """Drop-in equivalent of ops/lpc.py:burg_lpc via the VMEM kernel."""
-    return levinson_from_reflections(burg_reflections(frames, order))
+    """Drop-in equivalent of ops/lpc.py:burg_lpc via the VMEM kernel
+    (Levinson update fused in-kernel as register-column ops)."""
+    return _burg_call(frames, order, blkf=256, levinson=True)
