@@ -318,11 +318,55 @@ def pitch_ac(
         # forward normalized cross-correlation ('cc'): the 1-period window
         # against its lag-shifted copy, energy-normalized per lag
         base = fr[..., :nw]
-        spec_full = jnp.fft.rfft(fr, n=nfft, axis=-1)
-        spec_base = jnp.fft.rfft(base, n=nfft, axis=-1)
-        cross = jnp.fft.irfft(jnp.conj(spec_base) * spec_full, n=nfft, axis=-1)[
-            ..., : lag_max + 1
-        ]
+        use_mxu = ac_engine == "mxu" or (
+            ac_engine == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_mxu:
+            # same MXU real-DFT scheme as the 'ac' branch, for the
+            # cross-spectrum conj(B)·F: with X[k] = Σ x_t·(cos − i·sin),
+            # Re = bc·fc + bs·fs, Im = bs·fc − bc·fs, and the inverse at
+            # the lag_max+1 needed lags is a cos matmul on Re minus a sin
+            # matmul on Im (weights w_k/nfft with DC/Nyquist at 1).
+            kbins = nfft // 2 + 1
+            ii = np.arange(span, dtype=np.float64)
+            kk = np.arange(kbins, dtype=np.float64)
+            ang = 2.0 * np.pi * np.outer(ii, kk) / nfft
+            cs = jnp.asarray(
+                np.concatenate([np.cos(ang), np.sin(ang)], axis=1), dtype=x.dtype
+            )  # [span, 2K]
+            pf = jax.lax.dot_general(
+                fr, cs, (((fr.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            pb = jax.lax.dot_general(
+                base, cs[:nw], (((base.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            fc, fs = pf[..., :kbins], pf[..., kbins:]
+            bc, bs = pb[..., :kbins], pb[..., kbins:]
+            re = bc * fc + bs * fs
+            im = bs * fc - bc * fs
+            wk = np.full(kbins, 2.0)
+            wk[0] = 1.0
+            if nfft % 2 == 0:
+                wk[-1] = 1.0
+            tt = np.arange(lag_max + 1, dtype=np.float64)
+            angt = 2.0 * np.pi * np.outer(kk, tt) / nfft
+            ctj = jnp.asarray(np.cos(angt) * wk[:, None] / nfft, dtype=x.dtype)
+            stj = jnp.asarray(np.sin(angt) * wk[:, None] / nfft, dtype=x.dtype)
+            cross = jax.lax.dot_general(
+                re, ctj, (((re.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ) - jax.lax.dot_general(
+                im, stj, (((im.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            spec_full = jnp.fft.rfft(fr, n=nfft, axis=-1)
+            spec_base = jnp.fft.rfft(base, n=nfft, axis=-1)
+            cross = jnp.fft.irfft(jnp.conj(spec_base) * spec_full, n=nfft, axis=-1)[
+                ..., : lag_max + 1
+            ]
         csum = jnp.cumsum(fr * fr, axis=-1)
         total = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
         # consecutive indices -> contiguous slices, not gathers

@@ -203,8 +203,9 @@ def test_pitch_ac_engines_agree(speechlike):
     # tracker's own precision (voicing decisions identical on this signal)
     y, sr = speechlike
     xj = jnp.asarray(y, dtype=jnp.float32)
-    f_fft = np.asarray(pitch_ac(xj, sr=float(sr), ac_engine="fft"))
-    f_mxu = np.asarray(pitch_ac(xj, sr=float(sr), ac_engine="mxu"))
-    assert ((f_fft > 0) == (f_mxu > 0)).all()
-    v = f_fft > 0
-    np.testing.assert_allclose(f_mxu[v], f_fft[v], atol=0.05)
+    for method in ("ac", "cc"):
+        f_fft = np.asarray(pitch_ac(xj, sr=float(sr), method=method, ac_engine="fft"))
+        f_mxu = np.asarray(pitch_ac(xj, sr=float(sr), method=method, ac_engine="mxu"))
+        assert ((f_fft > 0) == (f_mxu > 0)).all(), method
+        v = f_fft > 0
+        np.testing.assert_allclose(f_mxu[v], f_fft[v], atol=0.05, err_msg=method)
