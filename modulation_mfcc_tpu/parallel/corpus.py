@@ -34,6 +34,37 @@ from modulation_mfcc_tpu.utils.obs import ThroughputMeter, log_event
 __all__ = ["CorpusSweep", "sweep_mfcc_change"]
 
 
+@partial(jax.jit, static_argnames=("cfg", "spectrum", "features", "f0cfg", "acfg"))
+def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg):
+    """All requested extra feature tracks in ONE compiled program.
+
+    One execution + one host fetch per batch instead of one round trip per
+    feature: the remote-TPU tunnel adds ~35 ms fixed dispatch latency per
+    execution (docs/DESIGN.md), which dominated multi-feature sweeps when
+    f0/envelope/mfcc39 each dispatched separately. XLA also overlaps the
+    feature subgraphs (measured: the fused 4-feature tracker program runs
+    ~30% faster than the features timed one by one)."""
+    from modulation_mfcc_tpu.models.features import mfcc_with_deltas
+    from modulation_mfcc_tpu.models.modulation import mfcc_trajectories
+    from modulation_mfcc_tpu.parallel.batch import frame_validity_mask
+    from modulation_mfcc_tpu.parallel.features_batch import (
+        batched_envelope,
+        batched_f0,
+    )
+
+    out = {}
+    ab = AudioBatch(samples, lengths)
+    if "mfcc39" in features:
+        mask = frame_validity_mask(lengths, samples.shape[-1], cfg)
+        m = mfcc_trajectories(samples, cfg, frame_mask=mask, spectrum=spectrum)
+        out["mfcc39"] = (mfcc_with_deltas(m, frame_mask=mask, normalize=True), mask)
+    if "f0" in features:
+        out["f0"] = batched_f0(ab, float(cfg.signal_sample_rate), f0cfg)
+    if "envelope" in features:
+        out["envelope"] = batched_envelope(ab, float(cfg.signal_sample_rate), acfg)
+    return out
+
+
 @dataclass
 class CorpusSweep:
     """Configuration of one corpus run."""
@@ -200,62 +231,58 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
         return run_batch(samples_d, lengths_d, fir_ok)
 
     def extra_features(samples_d, lengths_d):
-        """Batched f0/envelope/mfcc39 tracks for the same bucket."""
+        """Batched f0/envelope/mfcc39 tracks for the same bucket — one
+        fused program + one host fetch (see _extras_impl)."""
+        from modulation_mfcc_tpu.models.config import AmplitudeConfig, F0Config
+
         out = {}
-        ab = AudioBatch(samples_d, lengths_d)
-        if "mfcc39" in sweep.features:
-            # MFCC + delta + delta-delta, CMVN'd (BASELINE.json config #2)
-            from modulation_mfcc_tpu.models.features import mfcc_with_deltas
-            from modulation_mfcc_tpu.models.modulation import mfcc_trajectories
-            from modulation_mfcc_tpu.parallel.batch import frame_validity_mask
-
-            mask = frame_validity_mask(lengths_d, samples_d.shape[-1], sweep.cfg)
-            m = mfcc_trajectories(
-                samples_d, sweep.cfg, frame_mask=mask, spectrum=sweep.spectrum
+        f0cfg = sweep.f0_cfg or F0Config()
+        acfg = sweep.amp_cfg or AmplitudeConfig()
+        env_per_file = (
+            "envelope" in sweep.features and acfg.method == "RMSpraat"
+        )
+        jit_feats = tuple(
+            f
+            for f in ("mfcc39", "f0", "envelope")
+            if f in sweep.features and not (f == "envelope" and env_per_file)
+        )
+        if jit_feats:
+            host = jax.device_get(
+                _extras_impl(
+                    samples_d, lengths_d, sweep.cfg, sweep.spectrum,
+                    jit_feats, f0cfg, acfg,
+                )
             )
-            feats = mfcc_with_deltas(m, frame_mask=mask, normalize=True)
-            out["mfcc39"] = (np.asarray(feats), np.asarray(mask), sweep.cfg.tStep)
-        if "f0" in sweep.features:
-            from modulation_mfcc_tpu.models.config import F0Config
-            from modulation_mfcc_tpu.parallel.features_batch import batched_f0
+            if "mfcc39" in host:
+                out["mfcc39"] = (*host["mfcc39"], sweep.cfg.tStep)
+            if "f0" in host:
+                out["f0"] = (*host["f0"], f0cfg.hopSize)
+            if "envelope" in host:
+                out["envelope"] = (*host["envelope"], acfg.hopLen)
+        if env_per_file:
+            # RMSpraat is pitch-adaptive: output rate is chosen per file,
+            # so it runs the per-file path (one compile per distinct
+            # length — fine for uniform corpora, logged for ragged ones)
+            from modulation_mfcc_tpu.models.envelope import extract_envelope
 
-            f0cfg = sweep.f0_cfg or F0Config()
-            f0, f0_valid = batched_f0(ab, float(sweep.cfg.signal_sample_rate), f0cfg)
-            out["f0"] = (np.asarray(f0), np.asarray(f0_valid), f0cfg.hopSize)
-        if "envelope" in sweep.features:
-            from modulation_mfcc_tpu.models.config import AmplitudeConfig
-            from modulation_mfcc_tpu.parallel.features_batch import batched_envelope
-
-            acfg = sweep.amp_cfg or AmplitudeConfig()
             sr = float(sweep.cfg.signal_sample_rate)
-            if acfg.method == "RMSpraat":
-                # pitch-adaptive: output rate is chosen per file, so this
-                # runs the per-file path (one compile per distinct length —
-                # fine for uniform corpora, logged for ragged ones)
-                from modulation_mfcc_tpu.models.envelope import extract_envelope
-
-                log_event("corpus.envelope_per_file", method=acfg.method)
-                s_np = np.asarray(samples_d)
-                l_np = np.asarray(lengths_d)
-                pairs = [
-                    extract_envelope(s_np[i, : l_np[i]], sr, acfg)
-                    for i in range(len(l_np))
-                ]
-                width = max(a.shape[-1] for a, _ in pairs)
-                vals = np.zeros((len(pairs), width), dtype=np.float32)
-                valid = np.zeros((len(pairs), width), dtype=bool)
-                hops = np.empty(len(pairs))
-                for i, (a, tgrid) in enumerate(pairs):
-                    a = np.asarray(a)
-                    vals[i, : len(a)] = a
-                    valid[i, : len(a)] = True
-                    hops[i] = tgrid[1] - tgrid[0] if len(tgrid) > 1 else acfg.hopLen
-                out["envelope"] = (vals, valid, hops)
-            else:
-                amp, a_valid = batched_envelope(ab, sr, acfg)
-                # Hilb is dense but the reference's published time axis is
-                # arange(n)*hopLen for it too (the case-sensitivity quirk)
-                out["envelope"] = (np.asarray(amp), np.asarray(a_valid), acfg.hopLen)
+            log_event("corpus.envelope_per_file", method=acfg.method)
+            s_np = np.asarray(samples_d)
+            l_np = np.asarray(lengths_d)
+            pairs = [
+                extract_envelope(s_np[i, : l_np[i]], sr, acfg)
+                for i in range(len(l_np))
+            ]
+            width = max(a.shape[-1] for a, _ in pairs)
+            vals = np.zeros((len(pairs), width), dtype=np.float32)
+            valid = np.zeros((len(pairs), width), dtype=bool)
+            hops = np.empty(len(pairs))
+            for i, (a, tgrid) in enumerate(pairs):
+                a = np.asarray(a)
+                vals[i, : len(a)] = a
+                valid[i, : len(a)] = True
+                hops[i] = tgrid[1] - tgrid[0] if len(tgrid) > 1 else acfg.hopLen
+            out["envelope"] = (vals, valid, hops)
         return out
 
     with open(_done_path(sweep), "a") as done_f:
