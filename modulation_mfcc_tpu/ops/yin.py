@@ -68,6 +68,72 @@ def yin_cmndf(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones_like(d[..., :1]), cmndf], axis=-1)
 
 
+def _sliding_cmndf(
+    xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int, lag_block: int = 1
+) -> jnp.ndarray:
+    """CMNDF d'(τ), τ∈[0, max_lag], for frames xp[f·hop : f·hop + w + max_lag]
+    WITHOUT materializing a frame matrix or running FFT correlations.
+
+    YIN's difference function is unwindowed, so every frame quantity is a
+    plain window sum over a global product series:
+        cross[f, τ] = Σ_{j<w} xp[s+j]·xp[s+j+τ],   s = f·hop
+        e_tau[f, τ] = Σ_{j<w} xp[s+τ+j]²
+    Each is a sum over ``w`` consecutive samples of a per-τ series — and
+    frame starts are hop-aligned, so the sum decomposes into ``w//hop``
+    whole hop-row sums plus one partial row (the rms_envelope trick,
+    models/envelope.py). No long-range cumsum is involved (each frame value
+    is a fresh ~w/hop-term sum of row sums), so there is none of the
+    cancellation a global prefix-sum difference would suffer on long
+    signals. τ is processed in static blocks of ``lag_block``; 1 measured
+    fastest on v5e (larger blocks materialize a stacked [K, T] series in
+    HBM, which costs more than the extra kernel launches save).
+
+    Equal to ``yin_cmndf(frame_by_slices(xp, 0, nf, w+max_lag, hop), max_lag)``
+    up to float reduction order. On v5e this replaces the two 2048-pt rFFTs
+    + frame build (the dominant pyin cost) with ~1.2 GB of fused
+    elementwise/row-reduce traffic.
+    """
+    q, rem = divmod(w, hop)
+    n_rows = nf + q if rem else nf - 1 + q
+    l_need = (nf - 1) * hop + w
+    need_len = n_rows * hop + max_lag
+    if xp.shape[-1] < need_len:
+        cfgp = [(0, 0)] * (xp.ndim - 1) + [(0, need_len - xp.shape[-1])]
+        xp = jnp.pad(xp, cfgp)
+    base = jax.lax.slice_in_dim(xp, 0, n_rows * hop, axis=-1)
+
+    def window_sums(series):
+        # series [..., K, n_rows*hop] → [..., K, nf]
+        rows = series.reshape(*series.shape[:-1], n_rows, hop)
+        rs = jnp.sum(rows, axis=-1)
+        out = sum(
+            jax.lax.slice_in_dim(rs, r, r + nf, axis=-1) for r in range(q)
+        )
+        if rem:
+            pr = jnp.sum(rows[..., :rem], axis=-1)
+            out = out + jax.lax.slice_in_dim(pr, q, q + nf, axis=-1)
+        return out
+
+    cross_blocks, e_blocks = [], []
+    for t0 in range(0, max_lag + 1, lag_block):
+        taus = range(t0, min(t0 + lag_block, max_lag + 1))
+        shifted = jnp.stack(
+            [jax.lax.slice_in_dim(xp, t, t + n_rows * hop, axis=-1) for t in taus],
+            axis=-2,
+        )  # [..., K, n_rows*hop]
+        cross_blocks.append(window_sums(base[..., None, :] * shifted))
+        e_blocks.append(window_sums(shifted * shifted))
+    # [..., nf, max_lag+1]
+    cross = jnp.moveaxis(jnp.concatenate(cross_blocks, axis=-2), -2, -1)
+    e_tau = jnp.moveaxis(jnp.concatenate(e_blocks, axis=-2), -2, -1)
+    e0 = e_tau[..., :1]
+    d = e0 + e_tau - 2.0 * cross
+    dsum = jnp.cumsum(d[..., 1:], axis=-1)
+    tau_f = jnp.arange(1, max_lag + 1, dtype=d.dtype)
+    cmndf = d[..., 1:] * tau_f / jnp.maximum(dsum, 1e-30)
+    return jnp.concatenate([jnp.ones_like(d[..., :1]), cmndf], axis=-1)
+
+
 @lru_cache(maxsize=32)
 def _beta_threshold_probs(n_thresholds: int, a: float, b: float) -> np.ndarray:
     thresholds = np.linspace(0, 1, n_thresholds + 1)
@@ -146,8 +212,17 @@ def pyin_f0(
     # construction); at the 10 kHz defaults this shrinks the difference
     # function ~7.5× and halves the correlation FFT (nfft 4096→2048).
     ml = max_lag_f0 + 1
-    frames = frame_by_slices(xp, 0, nf, min(win_length + ml, frame_length), hop_length)
-    cm = yin_cmndf(frames, ml)  # [NF, ml+1]
+    if win_length + ml <= frame_length:
+        # frameless path: window sums over global product series (see
+        # _sliding_cmndf) — no frame matrix, no FFTs
+        cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml)
+    else:
+        # degenerate geometry (win_length ≈ frame_length): the band would
+        # read past the frame; keep the frame/FFT construction
+        frames = frame_by_slices(
+            xp, 0, nf, min(win_length + ml, frame_length), hop_length
+        )
+        cm = yin_cmndf(frames, ml)  # [NF, ml+1]
     # All troughs live in the static lag band [min_lag, max_lag_f0] — the
     # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
     # the full lag axis (L≈frame_length/2) that is ~GBs per utterance and

@@ -57,3 +57,16 @@ def test_extract_f0_pyin_method():
     v = f0[np.isfinite(f0)]
     assert abs(np.median(v) - 180.0) < 2.5
     assert t.shape == f0.shape
+
+
+def test_sliding_cmndf_matches_framed(rng):
+    from modulation_mfcc_tpu.ops.framing import frame_by_slices
+    from modulation_mfcc_tpu.ops.yin import _sliding_cmndf
+
+    for hop, w, ml, n in ((10, 64, 17, 500), (7, 50, 12, 301), (25, 100, 30, 800)):
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        nf = 1 + (n - (w + ml)) // hop
+        frames = frame_by_slices(x, 0, nf, w + ml, hop)
+        want = np.asarray(yin_cmndf(frames, ml))
+        got = np.asarray(_sliding_cmndf(x, nf, hop, w, ml))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
