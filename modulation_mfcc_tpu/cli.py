@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--spectrum", default="pallas",
                     choices=("fft", "matmul", "pallas", "pallas_x3", "pallas_bf16"))
     sw.add_argument("--features", default="mod_cepstr",
-                    help="comma list: mod_cepstr, mfcc39, f0, envelope")
+                    help="comma list: mod_cepstr, mfcc39, f0, envelope, formants")
     sw.add_argument("--no-resume", action="store_true")
     sw.add_argument("--num-shards", type=int, default=1,
                     help="multi-process scale-out: total manifest shards")

@@ -24,6 +24,7 @@ import numpy as np
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from modulation_mfcc_tpu.models.config import MfccConfig
 from modulation_mfcc_tpu.models.modulation import change_times, min_frames_for_fir
@@ -34,8 +35,10 @@ from modulation_mfcc_tpu.utils.obs import ThroughputMeter, log_event
 __all__ = ["CorpusSweep", "sweep_mfcc_change"]
 
 
-@partial(jax.jit, static_argnames=("cfg", "spectrum", "features", "f0cfg", "acfg"))
-def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg):
+@partial(
+    jax.jit, static_argnames=("cfg", "spectrum", "features", "f0cfg", "acfg", "fmcfg")
+)
+def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg):
     """All requested extra feature tracks in ONE compiled program.
 
     One execution + one host fetch per batch instead of one round trip per
@@ -62,6 +65,32 @@ def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg):
         out["f0"] = batched_f0(ab, float(cfg.signal_sample_rate), f0cfg)
     if "envelope" in features:
         out["envelope"] = batched_envelope(ab, float(cfg.signal_sample_rate), acfg)
+    if "formants" in features:
+        # Praat's first formant step resamples to 2× the formant ceiling
+        # (script/calc.py:131-141); here the rate change happens ON DEVICE
+        # (polyphase-as-strided-conv, ops/resample.py) so the 11 kHz stream
+        # never exists host-side.
+        from fractions import Fraction
+
+        from modulation_mfcc_tpu.ops.lpc import formant_frames
+        from modulation_mfcc_tpu.ops.resample import resample_poly_device
+        from modulation_mfcc_tpu.parallel.features_batch import batched_formants
+
+        sr0 = float(cfg.signal_sample_rate)
+        frac = Fraction(
+            int(round(2.0 * fmcfg.max_formant)), int(round(sr0))
+        ).limit_denominator(1000)
+        up, dn = frac.numerator, frac.denominator
+        xr = resample_poly_device(samples, up, dn)
+        sr2 = sr0 * up / dn
+        fr, bw = batched_formants(xr, sr2, fmcfg)
+        starts, nw, _ = formant_frames(
+            xr.shape[-1], sr2, fmcfg.window_length, fmcfg.time_step
+        )
+        len2 = -(-lengths * up // dn)
+        fvalid = jnp.asarray(starts + nw)[None, :] <= len2[:, None]
+        out["formants"] = (fr, fvalid)
+        out["formant_bw"] = (bw, fvalid)
     return out
 
 
@@ -77,9 +106,10 @@ class CorpusSweep:
     resume: bool = True
     use_native_loader: bool = True  # C++ threaded decode+resample when built
     loader_threads: int = 4
-    features: tuple = ("mod_cepstr",)  # any of: mod_cepstr, f0, envelope
+    features: tuple = ("mod_cepstr",)  # mod_cepstr, mfcc39, f0, envelope, formants
     f0_cfg: object = None  # F0Config | None
     amp_cfg: object = None  # AmplitudeConfig | None
+    formant_cfg: object = None  # FormantConfig | None
     mesh: object = None  # jax.sharding.Mesh | None: data-parallel over 'data'
 
 
@@ -233,24 +263,29 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     def extra_features(samples_d, lengths_d):
         """Batched f0/envelope/mfcc39 tracks for the same bucket — one
         fused program + one host fetch (see _extras_impl)."""
-        from modulation_mfcc_tpu.models.config import AmplitudeConfig, F0Config
+        from modulation_mfcc_tpu.models.config import (
+            AmplitudeConfig,
+            F0Config,
+            FormantConfig,
+        )
 
         out = {}
         f0cfg = sweep.f0_cfg or F0Config()
         acfg = sweep.amp_cfg or AmplitudeConfig()
+        fmcfg = sweep.formant_cfg or FormantConfig()
         env_per_file = (
             "envelope" in sweep.features and acfg.method == "RMSpraat"
         )
         jit_feats = tuple(
             f
-            for f in ("mfcc39", "f0", "envelope")
+            for f in ("mfcc39", "f0", "envelope", "formants")
             if f in sweep.features and not (f == "envelope" and env_per_file)
         )
         if jit_feats:
             host = jax.device_get(
                 _extras_impl(
                     samples_d, lengths_d, sweep.cfg, sweep.spectrum,
-                    jit_feats, f0cfg, acfg,
+                    jit_feats, f0cfg, acfg, fmcfg,
                 )
             )
             if "mfcc39" in host:
@@ -259,6 +294,9 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
                 out["f0"] = (*host["f0"], f0cfg.hopSize)
             if "envelope" in host:
                 out["envelope"] = (*host["envelope"], acfg.hopLen)
+            if "formants" in host:
+                out["formants"] = (*host["formants"], fmcfg.time_step)
+                out["formant_bw"] = (*host["formant_bw"], fmcfg.time_step)
         if env_per_file:
             # RMSpraat is pitch-adaptive: output rate is chosen per file,
             # so it runs the per-file path (one compile per distinct

@@ -114,3 +114,21 @@ def test_cli_sweep_features_flag(tmp_path):
     rec = np.load(out / "utt0.npz")
     assert {"mod_cepstr", "f0", "f0_times"} <= set(rec.keys())
     assert "envelope" not in rec
+
+
+def test_sweep_formants_feature(tmp_path):
+    """'formants' sweeps through the device-side 2x-ceiling resample."""
+    paths = _mk_corpus(tmp_path, n=2, sr=10_000)
+    out = tmp_path / "feats"
+    sweep = CorpusSweep(
+        out_dir=str(out), batch_size=2, spectrum="fft",
+        features=("mod_cepstr", "formants"),
+    )
+    report = sweep_mfcc_change(paths, sweep)
+    assert report["items"] == 2
+    rec = np.load(out / "utt0.npz")
+    assert {"formants", "formant_bw", "formants_times"} <= set(rec.keys())
+    fr = rec["formants"]
+    assert fr.ndim == 2 and fr.shape[1] == 5
+    # some frames track at least one in-band formant
+    assert np.isfinite(fr).any()

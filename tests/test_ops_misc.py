@@ -170,3 +170,15 @@ def test_frame_by_slices_offset_grid(rng):
     got = np.asarray(frame_by_slices(jnp.asarray(y), s0, nf, W, H))
     want = np.stack([y[..., s0 + k * H : s0 + k * H + W] for k in range(nf)], axis=-2)
     np.testing.assert_array_equal(got, want)
+
+
+def test_resample_poly_device_matches_host(rng):
+    from modulation_mfcc_tpu.io.wav import resample
+    from modulation_mfcc_tpu.ops.resample import resample_device
+
+    for orig, tgt in ((10_000, 11_000), (44_100, 10_000), (16_000, 10_000)):
+        x = rng.standard_normal(8011)
+        want = resample(x, orig, tgt)
+        got = np.asarray(resample_device(jnp.asarray(x), float(orig), float(tgt)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-10)
