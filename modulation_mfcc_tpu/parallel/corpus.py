@@ -36,9 +36,12 @@ __all__ = ["CorpusSweep", "sweep_mfcc_change"]
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "spectrum", "features", "f0cfg", "acfg", "fmcfg")
+    jax.jit,
+    static_argnames=(
+        "cfg", "spectrum", "features", "f0cfg", "acfg", "fmcfg", "mesh",
+    ),
 )
-def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg):
+def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg, mesh):
     """All requested extra feature tracks in ONE compiled program.
 
     One execution + one host fetch per batch instead of one round trip per
@@ -55,6 +58,17 @@ def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg):
         batched_f0,
     )
 
+    if mesh is not None:
+        # same GSPMD pattern as parallel/batch._sharded_impl: annotate the
+        # batch axis over 'data' and let XLA shard every tracker with it
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        samples = jax.lax.with_sharding_constraint(
+            samples, NamedSharding(mesh, P("data", None))
+        )
+        lengths = jax.lax.with_sharding_constraint(
+            lengths, NamedSharding(mesh, P("data"))
+        )
     out = {}
     ab = AudioBatch(samples, lengths)
     if "mfcc39" in features:
@@ -285,7 +299,7 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             host = jax.device_get(
                 _extras_impl(
                     samples_d, lengths_d, sweep.cfg, sweep.spectrum,
-                    jit_feats, f0cfg, acfg, fmcfg,
+                    jit_feats, f0cfg, acfg, fmcfg, sweep.mesh,
                 )
             )
             if "mfcc39" in host:

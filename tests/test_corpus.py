@@ -51,12 +51,14 @@ def test_sweep_multifeature_and_mesh(tmp_path):
     out = tmp_path / "feats"
     sweep = CorpusSweep(
         out_dir=str(out), batch_size=4, spectrum="fft",
-        features=("mod_cepstr", "f0", "envelope", "mfcc39"), mesh=make_mesh(8, 1),
+        features=("mod_cepstr", "f0", "envelope", "mfcc39", "formants"),
+        mesh=make_mesh(8, 1),
     )
     report = sweep_mfcc_change(paths, sweep)
     assert report["items"] == 4
     rec = np.load(out / "utt1.npz")
-    assert {"times", "mod_cepstr", "f0", "f0_times", "envelope", "envelope_times", "mfcc39"} <= set(rec.keys())
+    assert {"times", "mod_cepstr", "f0", "f0_times", "envelope", "envelope_times",
+            "mfcc39", "formants", "formant_bw"} <= set(rec.keys())
     assert rec["mfcc39"].ndim == 2 and rec["mfcc39"].shape[1] == 39
     v = rec["f0"][rec["f0"] > 0]
     assert abs(np.median(v) - 130.0) < 5.0  # utt1: 120+10*1 Hz tone
