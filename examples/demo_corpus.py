@@ -31,7 +31,7 @@ def main() -> None:
     sweep = CorpusSweep(
         out_dir=out,
         batch_size=4,
-        features=("mod_cepstr", "f0", "envelope", "mfcc39"),
+        features=("mod_cepstr", "f0", "envelope", "mfcc39", "formants"),
     )
     report = sweep_mfcc_change(paths, sweep)
     print("throughput report:", report)
