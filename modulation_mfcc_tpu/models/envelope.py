@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from modulation_mfcc_tpu.models.config import AmplitudeConfig
 from modulation_mfcc_tpu.ops import filters as F
-from modulation_mfcc_tpu.ops.framing import frame_signal
+from modulation_mfcc_tpu.ops.framing import frame_signal, hop_window_sums
 from modulation_mfcc_tpu.ops.hilbert import hilbert_envelope
 
 __all__ = ["rms_envelope", "amplitude_envelope", "extract_envelope", "envelope_times"]
@@ -49,27 +49,19 @@ def rms_envelope(
     when the decomposition would unroll too many shifted adds.
     """
     W, H = int(frame_length), int(hop_length)
-    m, r = divmod(W, H)
-    if m > 64:
+    if W // H > 64:
         frames = frame_signal(y, W, H, center=center)
         return jnp.sqrt(jnp.mean(frames * frames, axis=-1))
     n = y.shape[-1]
     pad = W // 2 if center else 0
-    total = n + 2 * pad
-    nf = 1 + (total - W) // H
+    nf = 1 + (n + 2 * pad - W) // H
     if nf <= 0:
         raise ValueError(f"Signal of length {n} too short for frame_length={W}")
-    # rows of x² in padded coordinates, zero-filled past the signal end
-    # (never read by a valid frame: frame nf-1 ends at (nf-1)*H + W <= total)
-    n_rows = nf + m + (1 if r else 0)
-    cfg = [(0, 0)] * (y.ndim - 1) + [(pad, n_rows * H - n - pad)]
+    # x² in padded coordinates; hop_window_sums zero-extends past the signal
+    # end (never read by a valid frame: frame nf-1 ends inside the padding)
+    cfg = [(0, 0)] * (y.ndim - 1) + [(pad, 0)]
     sq = jnp.pad(y, cfg) ** 2
-    rows = sq.reshape(y.shape[:-1] + (n_rows, H))
-    s = jnp.sum(rows, axis=-1)  # [..., n_rows]
-    energy = sum(jax.lax.slice_in_dim(s, j, j + nf, axis=-1) for j in range(m))
-    if r:
-        pr = jnp.sum(rows[..., :r], axis=-1)
-        energy = energy + jax.lax.slice_in_dim(pr, m, m + nf, axis=-1)
+    energy = hop_window_sums(sq, nf, W, H)
     return jnp.sqrt(energy / W)
 
 

@@ -60,6 +60,39 @@ def frame_by_slices(
     return frames[..., :W]
 
 
+def hop_window_sums(
+    series: jnp.ndarray, nf: int, window: int, hop: int
+) -> jnp.ndarray:
+    """``out[..., f] = Σ series[..., f·hop : f·hop + window]``, f ∈ [0, nf).
+
+    Frame starts are hop-aligned, so each window sum decomposes into
+    ``window//hop`` whole hop-row sums plus one ``window%hop`` partial row:
+    O(len) reads, no frame matrix, and no long-range cumsum — every output
+    is a fresh ~window/hop-term sum of row sums, so there is no
+    cancellation growth with position (unlike prefix-sum differences).
+    Used by the RMS envelope (models/envelope.py) and the frameless pyin
+    difference function (ops/yin.py). A series shorter than the row grid is
+    zero-extended; callers guarantee valid windows only read real data.
+    """
+    q, rem = divmod(int(window), int(hop))
+    n_rows = nf + q if rem else nf - 1 + q
+    need = n_rows * hop
+    length = series.shape[-1]
+    if length < need:
+        cfg = [(0, 0)] * (series.ndim - 1) + [(0, need - length)]
+        series = jnp.pad(series, cfg)
+    elif length > need:
+        series = jax.lax.slice_in_dim(series, 0, need, axis=-1)
+    rows = series.reshape(*series.shape[:-1], n_rows, hop)
+    rs = jnp.sum(rows, axis=-1)
+    out = sum(jax.lax.slice_in_dim(rs, r, r + nf, axis=-1) for r in range(q))
+    if rem:
+        pr = jnp.sum(rows[..., :rem], axis=-1)
+        partial = jax.lax.slice_in_dim(pr, q, q + nf, axis=-1)
+        out = out + partial if q else partial
+    return out
+
+
 def frame_signal(
     x: jnp.ndarray,
     frame_length: int,

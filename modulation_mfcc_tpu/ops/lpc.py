@@ -129,7 +129,9 @@ def lpc_formants(
     alpha = float(np.exp(-2.0 * np.pi * pre_emphasis_from / sr))
     xp = jnp.concatenate([x[..., :1], x[..., 1:] - alpha * x[..., :-1]], axis=-1)
     starts, nw, _ = formant_frames(n, sr, window_length, time_step)
-    hop = max(1, int(round(time_step * sr)))
+    # hop derived from the grid formant_frames returned, not recomputed —
+    # keeps the frame matrix and the reported frame times on one formula
+    hop = int(starts[1] - starts[0]) if len(starts) > 1 else 1
     frames = frame_by_slices(xp, int(starts[0]), len(starts), nw, hop)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
     w = jnp.asarray(gaussian(nw, nw / 8.0), dtype=x.dtype)

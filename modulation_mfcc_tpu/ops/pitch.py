@@ -57,6 +57,38 @@ def _frame_centered(x: jnp.ndarray, starts: np.ndarray, nw: int) -> jnp.ndarray:
     return frame_by_slices(x, int(starts[0]), len(starts), nw, hop)
 
 
+def _dft_mats(n_in: int, nfft: int, n_lags: int, dtype, want_sin: bool = False):
+    """Host-built real-DFT matrices shared by the 'ac' and 'cc' MXU paths.
+
+    Returns ``(kbins, cs, ct, st)``: the forward projection ``cs``
+    [n_in, 2K] (cos | sin columns, X[k] = proj_c − i·proj_s), and the
+    inverse-transform matmuls ``ct``/``st`` [K, n_lags] carrying the
+    half-spectrum weights w_k/nfft (DC and, for even nfft, Nyquist at 1) —
+    so ``irfft(C)[τ] = Re(C) @ ct − Im(C) @ st``. ``st`` is None unless
+    requested (the autocorrelation's spectrum is real)."""
+    kbins = nfft // 2 + 1
+    ii = np.arange(n_in, dtype=np.float64)
+    kk = np.arange(kbins, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(ii, kk) / nfft
+    cs = jnp.asarray(np.concatenate([np.cos(ang), np.sin(ang)], axis=1), dtype=dtype)
+    wk = np.full(kbins, 2.0)
+    wk[0] = 1.0
+    if nfft % 2 == 0:
+        wk[-1] = 1.0
+    angt = 2.0 * np.pi * np.outer(kk, np.arange(n_lags, dtype=np.float64)) / nfft
+    ct = jnp.asarray(np.cos(angt) * wk[:, None] / nfft, dtype=dtype)
+    st = jnp.asarray(np.sin(angt) * wk[:, None] / nfft, dtype=dtype) if want_sin else None
+    return kbins, cs, ct, st
+
+
+def _dot(a, b):
+    """Batched [..., n] @ [n, m] at HIGHEST precision (parity-grade MXU)."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _sinc_weights(offsets: np.ndarray, depth: int) -> np.ndarray:
     """Interpolation weight matrix [2·depth+3, n_offsets] for evaluating the
     windowed-sinc interpolant (sinc × raised-cosine taper over ±depth
@@ -241,6 +273,12 @@ def pitch_ac(
         xg = jnp.where(in_sig, x - mean, 0.0)
         global_peak = jnp.max(jnp.abs(xg)) + 1e-30
 
+    if n < span:
+        # clip shorter than one analysis span ('cc' spans ~2 periods of
+        # min_pitch): zero-extend so the single frame exists — the frame's
+        # tail reads silence and the clip decodes unvoiced, instead of
+        # frame_by_slices rejecting the out-of-range read
+        xg = jnp.pad(xg, [(0, 0)] * (xg.ndim - 1) + [(0, span - n)])
     frames = _frame_centered(xg, starts, span)  # [NF, span]
     # Praat's local mean looks one longest period to both sides of the frame
     # midpoint (2·nsamp_period samples), for both estimators
@@ -275,29 +313,10 @@ def pitch_ac(
             # to rfft->|.|^2->irfft (same nfft zero-padding); on v5e the
             # two HIGHEST-precision matmuls replace ~20 ms of batched
             # 1024-pt FFTs with ~2 ms of MXU work for 16x30 s @10 kHz.
-            kbins = nfft // 2 + 1
-            ii = np.arange(nw, dtype=np.float64)
-            kk = np.arange(kbins, dtype=np.float64)
-            ang = 2.0 * np.pi * np.outer(ii, kk) / nfft
-            cs = jnp.asarray(
-                np.concatenate([np.cos(ang), np.sin(ang)], axis=1), dtype=x.dtype
-            )  # [nw, 2K]
-            proj = jax.lax.dot_general(
-                fw, cs, (((fw.ndim - 1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            kbins, cs, ctj, _ = _dft_mats(nw, nfft, lag_hi + 1, x.dtype)
+            proj = _dot(fw, cs)
             power = proj[..., :kbins] ** 2 + proj[..., kbins:] ** 2
-            wk = np.full(kbins, 2.0)
-            wk[0] = 1.0
-            if nfft % 2 == 0:
-                wk[-1] = 1.0
-            tt = np.arange(lag_hi + 1, dtype=np.float64)
-            ct = np.cos(2.0 * np.pi * np.outer(kk, tt) / nfft) * wk[:, None] / nfft
-            ctj = jnp.asarray(ct, dtype=x.dtype)  # [K, lag_hi+1]
-            ac = jax.lax.dot_general(
-                power, ctj, (((power.ndim - 1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            ac = _dot(power, ctj)
             # window autocorrelation: same construction host-side in f64
             wf = np.fft.rfft(w_np, n=nfft)
             wac = np.fft.irfft(wf * np.conj(wf), n=nfft)[: lag_hi + 1]
@@ -322,45 +341,19 @@ def pitch_ac(
             ac_engine == "auto" and jax.default_backend() == "tpu"
         )
         if use_mxu:
-            # same MXU real-DFT scheme as the 'ac' branch, for the
-            # cross-spectrum conj(B)·F: with X[k] = Σ x_t·(cos − i·sin),
-            # Re = bc·fc + bs·fs, Im = bs·fc − bc·fs, and the inverse at
-            # the lag_max+1 needed lags is a cos matmul on Re minus a sin
-            # matmul on Im (weights w_k/nfft with DC/Nyquist at 1).
-            kbins = nfft // 2 + 1
-            ii = np.arange(span, dtype=np.float64)
-            kk = np.arange(kbins, dtype=np.float64)
-            ang = 2.0 * np.pi * np.outer(ii, kk) / nfft
-            cs = jnp.asarray(
-                np.concatenate([np.cos(ang), np.sin(ang)], axis=1), dtype=x.dtype
-            )  # [span, 2K]
-            pf = jax.lax.dot_general(
-                fr, cs, (((fr.ndim - 1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+            # same MXU real-DFT scheme as the 'ac' branch (shared matrices
+            # from _dft_mats), applied to the cross-spectrum conj(B)·F:
+            # Re = bc·fc + bs·fs, Im = bs·fc − bc·fs, inverse = Re@ct − Im@st
+            kbins, cs, ctj, stj = _dft_mats(
+                span, nfft, lag_max + 1, x.dtype, want_sin=True
             )
-            pb = jax.lax.dot_general(
-                base, cs[:nw], (((base.ndim - 1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            pf = _dot(fr, cs)
+            pb = _dot(base, cs[:nw])
             fc, fs = pf[..., :kbins], pf[..., kbins:]
             bc, bs = pb[..., :kbins], pb[..., kbins:]
             re = bc * fc + bs * fs
             im = bs * fc - bc * fs
-            wk = np.full(kbins, 2.0)
-            wk[0] = 1.0
-            if nfft % 2 == 0:
-                wk[-1] = 1.0
-            tt = np.arange(lag_max + 1, dtype=np.float64)
-            angt = 2.0 * np.pi * np.outer(kk, tt) / nfft
-            ctj = jnp.asarray(np.cos(angt) * wk[:, None] / nfft, dtype=x.dtype)
-            stj = jnp.asarray(np.sin(angt) * wk[:, None] / nfft, dtype=x.dtype)
-            cross = jax.lax.dot_general(
-                re, ctj, (((re.ndim - 1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            ) - jax.lax.dot_general(
-                im, stj, (((im.ndim - 1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            cross = _dot(re, ctj) - _dot(im, stj)
         else:
             spec_full = jnp.fft.rfft(fr, n=nfft, axis=-1)
             spec_base = jnp.fft.rfft(base, n=nfft, axis=-1)

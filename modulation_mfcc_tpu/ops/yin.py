@@ -29,7 +29,7 @@ import scipy.stats
 import jax
 import jax.numpy as jnp
 
-from modulation_mfcc_tpu.ops.framing import frame_by_slices
+from modulation_mfcc_tpu.ops.framing import hop_window_sums
 
 __all__ = ["pyin_f0", "yin_cmndf"]
 
@@ -95,24 +95,14 @@ def _sliding_cmndf(
     """
     q, rem = divmod(w, hop)
     n_rows = nf + q if rem else nf - 1 + q
-    l_need = (nf - 1) * hop + w
     need_len = n_rows * hop + max_lag
     if xp.shape[-1] < need_len:
         cfgp = [(0, 0)] * (xp.ndim - 1) + [(0, need_len - xp.shape[-1])]
         xp = jnp.pad(xp, cfgp)
     base = jax.lax.slice_in_dim(xp, 0, n_rows * hop, axis=-1)
 
-    def window_sums(series):
-        # series [..., K, n_rows*hop] → [..., K, nf]
-        rows = series.reshape(*series.shape[:-1], n_rows, hop)
-        rs = jnp.sum(rows, axis=-1)
-        out = sum(
-            jax.lax.slice_in_dim(rs, r, r + nf, axis=-1) for r in range(q)
-        )
-        if rem:
-            pr = jnp.sum(rows[..., :rem], axis=-1)
-            out = out + jax.lax.slice_in_dim(pr, q, q + nf, axis=-1)
-        return out
+    def window_sums(series):  # [..., K, n_rows*hop] → [..., K, nf]
+        return hop_window_sums(series, nf, w, hop)
 
     cross_blocks, e_blocks = [], []
     for t0 in range(0, max_lag + 1, lag_block):
@@ -212,17 +202,18 @@ def pyin_f0(
     # construction); at the 10 kHz defaults this shrinks the difference
     # function ~7.5× and halves the correlation FFT (nfft 4096→2048).
     ml = max_lag_f0 + 1
-    if win_length + ml <= frame_length:
-        # frameless path: window sums over global product series (see
-        # _sliding_cmndf) — no frame matrix, no FFTs
-        cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml)
-    else:
-        # degenerate geometry (win_length ≈ frame_length): the band would
-        # read past the frame; keep the frame/FFT construction
-        frames = frame_by_slices(
-            xp, 0, nf, min(win_length + ml, frame_length), hop_length
+    if win_length + ml > frame_length:
+        # librosa.yin's own constraint: d(τ) reads x[j < win_length + τ],
+        # so the frame must hold win_length + max_lag samples. (An earlier
+        # fallback silently shrank W to frame_length − ml here, which is a
+        # different difference function.)
+        raise ValueError(
+            f"frame_length={frame_length} too short for win_length="
+            f"{win_length} with fmin={fmin} (needs >= {win_length + ml})"
         )
-        cm = yin_cmndf(frames, ml)  # [NF, ml+1]
+    # frameless path: window sums over global product series (see
+    # _sliding_cmndf) — no frame matrix, no FFTs
+    cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml)
     # All troughs live in the static lag band [min_lag, max_lag_f0] — the
     # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
     # the full lag axis (L≈frame_length/2) that is ~GBs per utterance and

@@ -87,7 +87,7 @@ def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg, 
         from fractions import Fraction
 
         from modulation_mfcc_tpu.ops.lpc import formant_frames
-        from modulation_mfcc_tpu.ops.resample import resample_poly_device
+        from modulation_mfcc_tpu.ops.resample import n_resampled, resample_poly_device
         from modulation_mfcc_tpu.parallel.features_batch import batched_formants
 
         sr0 = float(cfg.signal_sample_rate)
@@ -101,7 +101,7 @@ def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg, 
         starts, nw, _ = formant_frames(
             xr.shape[-1], sr2, fmcfg.window_length, fmcfg.time_step
         )
-        len2 = -(-lengths * up // dn)
+        len2 = n_resampled(lengths, up, dn)  # works elementwise on the array
         fvalid = jnp.asarray(starts + nw)[None, :] <= len2[:, None]
         out["formants"] = (fr, fvalid)
         out["formant_bw"] = (bw, fvalid)

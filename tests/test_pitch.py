@@ -209,3 +209,13 @@ def test_pitch_ac_engines_agree(speechlike):
         assert ((f_fft > 0) == (f_mxu > 0)).all(), method
         v = f_fft > 0
         np.testing.assert_allclose(f_mxu[v], f_fft[v], atol=0.05, err_msg=method)
+
+
+def test_pitch_ac_short_signal_unvoiced():
+    # a clip shorter than one 'cc' analysis span (~2 periods of min_pitch)
+    # must return an unvoiced 1-frame track, not raise (regression: the
+    # slice-framing refactor briefly made this an out-of-range error)
+    y = jnp.asarray(np.random.default_rng(0).standard_normal(300).astype(np.float32))
+    for method in ("ac", "cc"):
+        f0 = np.asarray(pitch_ac(y, sr=16_000.0, method=method))
+        assert f0.shape[0] >= 1 and np.all(f0 >= 0.0)
