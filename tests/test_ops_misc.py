@@ -182,3 +182,15 @@ def test_resample_poly_device_matches_host(rng):
         got = np.asarray(resample_device(jnp.asarray(x), float(orig), float(tgt)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_hop_window_sums_edges(rng):
+    from modulation_mfcc_tpu.ops.framing import hop_window_sums
+
+    y = rng.standard_normal(257)
+    # (window, hop) covering rem=0, rem>0, and window < hop (q=0)
+    for w, hop in ((30, 10), (25, 10), (7, 10), (10, 10)):
+        nf = 1 + (len(y) - w) // hop
+        want = np.array([y[f*hop : f*hop + w].sum() for f in range(nf)])
+        got = np.asarray(hop_window_sums(jnp.asarray(y), nf, w, hop))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
