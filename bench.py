@@ -104,12 +104,60 @@ def _tracker_throughput(batch: int, seconds: float, n_super: int) -> float:
     return batch * seconds / 3600.0 / best
 
 
+def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
+    """END-TO-END corpus sweep: WAV files on disk → native decode → host
+    bucketing/prefetch → bf16 device extraction → per-file .npz records.
+
+    This is BASELINE config #5's shape (the only number that includes the
+    host I/O pipeline — SURVEY.md §7 hard-part 5 says the bottleneck is
+    host decode, so the device-only headline can't stand in for it).
+    Audio-hours per WALL second, manifest→npz inclusive.
+    """
+    import shutil
+    import tempfile
+
+    from modulation_mfcc_tpu.io.wav import write_wav
+    from modulation_mfcc_tpu.models.config import MfccConfig
+    from modulation_mfcc_tpu.parallel.corpus import CorpusSweep, sweep_mfcc_change
+
+    sr = 16_000
+    root = tempfile.mkdtemp(prefix="modmfcc_bench_corpus_")
+    try:
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(n_files):
+            y = (0.3 * rng.standard_normal(int(seconds * sr))).astype(np.float32)
+            p = f"{root}/utt_{i:04d}.wav"
+            write_wav(p, y, sr)
+            paths.append(p)
+        cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+
+        def run(subset, tag):
+            sweep = CorpusSweep(
+                out_dir=f"{root}/out_{tag}",
+                cfg=cfg,
+                batch_size=32,
+                spectrum="pallas_bf16",
+                resume=False,
+            )
+            t0 = time.perf_counter()
+            sweep_mfcc_change(subset, sweep)
+            return time.perf_counter() - t0
+
+        run(paths[:2], "warm")  # compile + thread-pool warmup
+        wall = run(paths, "main")
+        return n_files * seconds / 3600.0 / wall
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     batch, seconds, n_super = 128, 30.0, 8
     bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
     f32 = _throughput("pallas", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
     trackers = _tracker_throughput(16, seconds, 4)
+    corpus = _corpus_throughput()
     per_chip_target = 500.0 / 8.0
     print(
         json.dumps(
@@ -121,6 +169,7 @@ def main() -> None:
                 "f32_parity_mode": round(f32, 3),
                 "f32_x3_mode": round(x3, 3),
                 "tracker_sweep": round(trackers, 3),
+                "corpus_sweep": round(corpus, 3),
             }
         )
     )

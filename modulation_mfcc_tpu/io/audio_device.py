@@ -18,7 +18,13 @@ import numpy as np
 
 from modulation_mfcc_tpu.io.wav import write_wav
 
-__all__ = ["audio_device_available", "Recorder", "play", "play_region"]
+__all__ = [
+    "audio_device_available",
+    "Recorder",
+    "play",
+    "play_region",
+    "animate_position",
+]
 
 
 def _sd():
@@ -98,12 +104,64 @@ def play(samples: np.ndarray, sample_rate: int, *, blocking: bool = True):
         sd.wait()
 
 
-def play_region(path: str, start: float, end: float, *, blocking: bool = True):
-    """Play [start, end] seconds of a WAV (reference play_selected_region)."""
+def animate_position(
+    start: float,
+    end: float,
+    callback,
+    *,
+    fps: float = 60.0,
+    clock=None,
+):
+    """Drive ``callback(pos)`` from start→end in real time at ~fps, then
+    ``callback(None)`` (cursor hide) — the reference's animate_cursor loop
+    (script/main.py:2081-2098) decoupled from the GUI. ``clock`` is an
+    injectable (time, sleep) pair for tests."""
+    import time as _time
+
+    now, sleep = clock if clock is not None else (_time.time, _time.sleep)
+    t0 = now()
+    duration = max(0.0, end - start)
+    while True:
+        pos = min(start + (now() - t0), end)
+        callback(pos)
+        if pos >= end:
+            break
+        sleep(max(0.0, min(1.0 / fps, duration)))
+    callback(None)
+
+
+def play_region(
+    path: str,
+    start: float,
+    end: float,
+    *,
+    blocking: bool = True,
+    position_callback=None,
+    fps: float = 60.0,
+):
+    """Play [start, end] seconds of a WAV (reference play_selected_region).
+
+    ``position_callback`` mirrors the reference's animated playback cursor
+    (main.py:2053-2098): called with the current position at ~fps on a
+    worker thread while the region plays, then with None when done."""
+    import threading
+
     from modulation_mfcc_tpu.io.wav import read_wav
 
     x, sr = read_wav(path)
     if x.ndim > 1:
         x = x[0]
     seg = x[int(start * sr) : int(end * sr)]
-    play(seg, sr, blocking=blocking)
+    thread = None
+    if position_callback is not None:
+        thread = threading.Thread(
+            target=animate_position, args=(start, end, position_callback),
+            kwargs={"fps": fps}, daemon=True,
+        )
+    play(seg, sr, blocking=False)
+    if thread is not None:
+        thread.start()
+    if blocking:
+        _sd().wait()
+        if thread is not None:
+            thread.join(timeout=5.0)

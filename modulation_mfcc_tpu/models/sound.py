@@ -66,9 +66,16 @@ def praat_spectrogram(
     window_length: float = 0.005,
     max_frequency: float = 5000.0,
     time_step: float = 0.002,
+    zoom_blur: bool = False,
 ) -> Spectrogram:
     """Wideband dB spectrogram with Praat-flavored defaults
-    (reference parselmouth_calc.py:31-39: to_spectrogram + 10*log10)."""
+    (reference parselmouth_calc.py:31-39: to_spectrogram + 10*log10).
+
+    ``zoom_blur`` reproduces the reference display's optional smoothing
+    (praat_py_ui/spectrogram.py:70-71): the dB matrix is upsampled 6× with
+    an order-4 spline (scipy.ndimage.zoom) before display; the time and
+    frequency axes are re-gridded to match (the reference scales its image
+    rect, which is the same mapping)."""
     x = np.asarray(x, dtype=np.float32)
     if x.ndim > 1:
         x = x[0]
@@ -82,4 +89,12 @@ def praat_spectrogram(
     keep = freqs <= max_frequency
     db = 10.0 * np.log10(np.maximum(p[:, keep], 1e-12))
     times = (np.arange(p.shape[0]) * hop + nw / 2) / sr
-    return Spectrogram(times, freqs[keep], db.T)
+    fkept = freqs[keep]
+    if zoom_blur:
+        from scipy.ndimage import zoom as nd_zoom
+
+        mat = nd_zoom(db.T, 6, order=4)  # [freq*6, time*6]
+        fkept = np.linspace(fkept[0], fkept[-1], mat.shape[0])
+        times = np.linspace(times[0], times[-1], mat.shape[1])
+        return Spectrogram(times, fkept, mat)
+    return Spectrogram(times, fkept, db.T)

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from modulation_mfcc_tpu.ops.framing import frame_by_slices
-from modulation_mfcc_tpu.ops.windows import gaussian
 
 __all__ = ["burg_lpc", "poly_roots_dk", "formant_frames", "lpc_formants"]
 
@@ -134,7 +133,14 @@ def lpc_formants(
     hop = int(starts[1] - starts[0]) if len(starts) > 1 else 1
     frames = frame_by_slices(xp, int(starts[0]), len(starts), nw, hop)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    w = jnp.asarray(gaussian(nw, nw / 8.0), dtype=x.dtype)
+    # Praat's formant Gaussian window (Sound_to_Formant.cpp): exp(-48 u²)
+    # with u = (i − imid)/(n+1), edge-subtracted and normalized — the same
+    # taper as the pitch tracker's AC_GAUSS window
+    i = np.arange(1, nw + 1, dtype=np.float64)
+    imid = 0.5 * (nw + 1)
+    edge = np.exp(-12.0)
+    w_np = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
+    w = jnp.asarray(w_np, dtype=x.dtype)
     frames = frames * w
     use_pallas = burg_engine == "pallas" or (
         burg_engine == "auto" and jax.default_backend() == "tpu"
@@ -163,4 +169,11 @@ def lpc_formants(
     freq_sorted = freq_sorted[..., : order // 2]
     bw_sorted = bw_sorted[..., : order // 2]
     freq_out = jnp.where(jnp.isfinite(freq_sorted), freq_sorted, jnp.nan)
+    # silent frames: Burg returns all-zero coefficients (z^p has only the
+    # origin as root → no formants), but Durand–Kerner's fixed iteration
+    # count leaves spurious partial-converged roots there — mask them out
+    # explicitly (Praat reports no formants for silence)
+    dead = jnp.sum(frames * frames, axis=-1, keepdims=True) <= 0.0
+    freq_out = jnp.where(dead, jnp.nan, freq_out)
+    bw_sorted = jnp.where(dead, jnp.nan, bw_sorted)
     return freq_out, bw_sorted

@@ -45,7 +45,6 @@ import jax
 import jax.numpy as jnp
 
 from modulation_mfcc_tpu.ops.framing import frame_by_slices
-from modulation_mfcc_tpu.ops.windows import hann
 from modulation_mfcc_tpu.utils.helpers import next_pow2
 
 __all__ = ["pitch_ac", "PitchParams"]
@@ -94,7 +93,16 @@ def _sinc_weights(offsets: np.ndarray, depth: int) -> np.ndarray:
     windowed-sinc interpolant (sinc × raised-cosine taper over ±depth
     samples, Praat's NUM_interpolate_sinc scheme) at fractional ``offsets``
     relative to an integer grid point, using the support samples at
-    integer positions −(depth+1) … +(depth+1) around it (host-side, f64)."""
+    integer positions −(depth+1) … +(depth+1) around it (host-side, f64).
+
+    Known deviation from Praat (kept deliberately): Praat anchors the taper
+    window at floor(pos), so crossing an integer shifts the support set by
+    one sample; here the support is the fixed ±(depth+1) neighborhood of the
+    nearest grid point with the raised cosine zeroed past ±(depth+1) of the
+    evaluation point. The fixed window is smoother at integer crossings and
+    agrees with Praat's interpolant far below tracker tolerance (the
+    Praat-parity tolerance tests — not the self-pinned goldens — are the
+    correctness bar for this choice)."""
     k = np.arange(-(depth + 1), depth + 2, dtype=np.float64)  # [2d+3]
     dist = offsets[None, :] - k[:, None]  # [2d+3, G]
     w = np.sinc(dist) * (0.5 + 0.5 * np.cos(np.pi * dist / (depth + 1)))
@@ -299,7 +307,11 @@ def pitch_ac(
             edge = np.exp(-12.0)
             w_np = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
         else:
-            w_np = np.asarray(hann(nw, periodic=False), dtype=np.float64)
+            # Praat AC_HANNING: w(i) = 0.5 − 0.5·cos(2πi/(n+1)), i = 1..n —
+            # nonzero endpoints (scipy's symmetric Hann of n+2 with the zero
+            # endpoints dropped), NOT scipy.hann(n)
+            i = np.arange(1, nw + 1, dtype=np.float64)
+            w_np = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (nw + 1))
         w = jnp.asarray(w_np, dtype=x.dtype)
         fw = fr * w
         use_mxu = ac_engine == "mxu" or (
@@ -389,6 +401,9 @@ def pitch_ac(
     val_par = r - 0.25 * (rp - rn) * delta
 
     tau_par = lag_par / sr
+    # Praat reflects correlation values above 1 ("high values due to short
+    # windows") before using them as strengths: r > 1 → 1/r
+    val_par = jnp.where(val_par > 1.0, 1.0 / jnp.maximum(val_par, 1e-12), val_par)
     sel_score = val_par - octave_cost * jnp.log2(jnp.maximum(min_pitch * tau_par, 1e-12))
     cand_score = jnp.where(is_max, sel_score, -jnp.inf)
 
@@ -412,8 +427,16 @@ def pitch_ac(
     ohc = (top_i[..., None] == lags).astype(r.dtype)  # [NF, k, nl]
     top_lag = jnp.sum(ohc * pos_l[..., None, :], axis=-1)
     val_sinc = jnp.sum(ohc * val_l[..., None, :], axis=-1)
+    # Praat's reflection-around-1 of the refined strength
+    val_sinc = jnp.where(val_sinc > 1.0, 1.0 / jnp.maximum(val_sinc, 1e-12), val_sinc)
     tau_top = top_lag / sr
-    top_s = val_sinc - octave_cost * jnp.log2(jnp.maximum(min_pitch * tau_top, 1e-12))
+    # Viterbi strength follows Praat's path finder: octave cost referenced
+    # to the CEILING — strength − octaveCost·log2(ceiling/f) — not to
+    # minPitch (minPitch-referenced cost is used only for the candidate
+    # top-k selection above, as in Sound_to_Pitch's elite registration).
+    # The constant log2(ceiling/minPitch)·octaveCost offset only moves
+    # voiced-vs-UNVOICED comparisons, which is exactly why it must match.
+    top_s = val_sinc - octave_cost * jnp.log2(jnp.maximum(max_pitch * tau_top, 1e-12))
     # candidates whose selection slot was empty (score -inf) stay invalid
     was_cand = jnp.sum(ohc * is_max[..., None, :], axis=-1) > 0.5
     freqs = jnp.where(was_cand, sr / jnp.maximum(top_lag, 1e-6), 0.0)
@@ -421,8 +444,10 @@ def pitch_ac(
     valid = was_cand & (freqs > min_pitch * 0.99) & (freqs < max_pitch * 1.01)
     strengths = jnp.where(valid, top_s, -1e30)
 
-    # unvoiced candidate strength (Boersma eq. for R_unvoiced)
-    ratio = (local_peak / global_peak) / (silence_thresh / (1.0 + voicing_thresh))
+    # unvoiced candidate strength (Praat path finder): intensity is
+    # localPeak/globalPeak capped at 1 (Sound_to_Pitch stores it capped)
+    intensity = jnp.minimum(local_peak / global_peak, 1.0)
+    ratio = intensity / (silence_thresh / (1.0 + voicing_thresh))
     s_unvoiced = voicing_thresh + jnp.maximum(0.0, 2.0 - ratio)
 
     all_strength = jnp.concatenate([strengths, s_unvoiced[:, None]], axis=-1)  # [NF, K]

@@ -3,20 +3,37 @@
 Replaces the reference's ``librosa.pyin`` path (script/calc.py:562-581) with
 the same published algorithm (Mauch & Dixon 2014, librosa's formulation):
 
-  1. YIN difference function per frame via cumulative sums + rFFT
-     autocorrelation; cumulative-mean-normalized difference (CMNDF).
-  2. Trough candidates = local minima of the CMNDF, refined by parabolic
-     interpolation; per-threshold trough selection with a Beta(2,18) prior
-     over thresholds and a Boltzmann prior over trough rank;
-     ``no_trough_prob`` mass to the global minimum when no trough clears a
-     threshold.
-  3. Candidate probabilities scattered onto a log-spaced pitch-bin grid
-     (``resolution`` semitones/bin) with voiced+unvoiced state duplication.
-  4. Viterbi decoding with a triangular local transition (width from
-     ``max_transition_rate``) and voiced↔unvoiced ``switch_prob``.
+  1. YIN difference function per frame via cumulative sums + sliding window
+     products; cumulative-mean-normalized difference (CMNDF).
+  2. Trough candidates = local minima of the CMNDF on the lag band, with
+     librosa's band-edge rules; per-threshold trough selection on the RAW
+     trough heights with a Beta(2,18) prior over thresholds and a Boltzmann
+     prior over trough rank; ``no_trough_prob`` mass to the lowest trough
+     for thresholds that no trough clears.
+  3. Candidate periods refined by parabolic interpolation (librosa's
+     ``|shift| > 1 → 0`` rule), probabilities scattered onto a log-spaced
+     pitch-bin grid (``ceil(1/resolution)`` bins/semitone) with
+     voiced+unvoiced state duplication.
+  4. Viterbi decoding with librosa's ``transition_local`` triangular window
+     (full length ``int(max_transition_rate·12·bins_per_semitone·hop/sr)``)
+     kron'd with the voiced↔unvoiced ``switch_prob`` loop, and the initial
+     distribution uniform over the UNVOICED states only.
+
+The exact librosa quirks are preserved so the decoded pitch bins match the
+float64 oracle (oracle.pyin_np) bit-for-bit on real signals:
+
+  * the difference function is librosa's, not the textbook YIN one: the
+    correlation term sums ``j = 0..win_length`` (win_length+1 products)
+    while the energy terms sum ``j = τ+1..τ+win_length`` — and correlation
+    and energy values with magnitude < 1e-6 are snapped to zero;
+  * trough heights used for the threshold sweep are the raw CMNDF values
+    (the parabolic refinement only adjusts the decoded period);
+  * a candidate whose refined frequency rounds above the top pitch bin is
+    dropped (librosa clips the bin index into the unvoiced block, whose
+    rows are then overwritten).
 
 Everything is static-shape: troughs are handled as masks over the full lag
-axis (no dynamic candidate lists), the Viterbi is a [S,S] max-plus matmul
+band (no dynamic candidate lists), the Viterbi is a [S,S] max-plus relaxation
 scanned over frames.
 """
 from __future__ import annotations
@@ -34,75 +51,93 @@ from modulation_mfcc_tpu.ops.framing import hop_window_sums
 __all__ = ["pyin_f0", "yin_cmndf"]
 
 
-def yin_cmndf(frames: jnp.ndarray, max_lag: int) -> jnp.ndarray:
-    """Cumulative-mean-normalized difference function d'(τ), τ∈[0, max_lag].
+def _cmndf_from_terms(cross, e_tau, dtype):
+    """librosa CMNDF from the correlation/energy window sums.
 
-    frames: [..., N]. d(τ) = Σ_{j<W} (x_j − x_{j+τ})², W = N − max_lag.
+    ``cross[..., τ] = Σ_{j=0}^{w} x[j]·x[j+τ]`` (w+1 products — librosa's
+    off-by-one), ``e_tau[..., τ] = Σ_{j=τ+1}^{τ+w} x[j]²`` (w terms,
+    shifted by one). Values with magnitude < 1e-6 are snapped to zero
+    (librosa does this to the irfft output and the energy differences),
+    then d(τ) = e(0) + e(τ) − 2·c(τ) and
+    d'(τ) = d(τ) / (mean(d(1..τ)) + tiny). d'(0) is set to 1 (never read:
+    the pyin band starts at min_period ≥ 1).
+    """
+    cross = jnp.where(jnp.abs(cross) < 1e-6, 0.0, cross)
+    e_tau = jnp.where(jnp.abs(e_tau) < 1e-6, 0.0, e_tau)
+    d = e_tau[..., :1] + e_tau - 2.0 * cross
+    tau_f = jnp.arange(1, d.shape[-1], dtype=dtype)
+    cum_mean = jnp.cumsum(d[..., 1:], axis=-1) / tau_f
+    tiny = jnp.finfo(dtype).tiny
+    cmndf = d[..., 1:] / (cum_mean + tiny)
+    return jnp.concatenate([jnp.ones_like(d[..., :1]), cmndf], axis=-1)
+
+
+def yin_cmndf(frames: jnp.ndarray, max_lag: int, win_length: int | None = None) -> jnp.ndarray:
+    """librosa's cumulative-mean-normalized difference d'(τ), τ∈[0, max_lag].
+
+    frames: [..., N]; ``win_length`` defaults to N − max_lag − 1 (so every
+    index read stays inside the frame). Implements librosa's exact
+    formulation — see :func:`_cmndf_from_terms` for the index quirks that
+    make this differ (by O(1/w) relative) from the textbook difference
+    function. FFT cross-correlation form (reference for the frameless
+    sliding version below and for batch paths that already hold frames).
     """
     n = frames.shape[-1]
-    w = n - max_lag
-    # energy terms via cumulative sums: e_tau[τ] = Σ_{j=τ}^{τ+W-1} x_j²
+    w = n - max_lag - 1 if win_length is None else win_length
+    if w + 1 + max_lag > n:
+        raise ValueError("frames too short for win_length + max_lag + 1")
+    # energy e(τ) = Σ_{j=τ+1}^{τ+w} x_j² via cumulative sums
     csum = jnp.cumsum(frames**2, axis=-1)
     total = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
-    tau = np.arange(max_lag + 1)
-    e0 = (total[..., w] - total[..., 0])[..., None]
     # consecutive indices -> contiguous slices, not gathers
-    e_tau = jax.lax.slice_in_dim(total, w, w + max_lag + 1, axis=-1) - jax.lax.slice_in_dim(
-        total, 0, max_lag + 1, axis=-1
+    e_tau = jax.lax.slice_in_dim(total, w + 1, w + max_lag + 2, axis=-1) - jax.lax.slice_in_dim(
+        total, 1, max_lag + 2, axis=-1
     )
-    # cross terms Σ_j x_j·x_{j+τ} via rFFT cross-correlation of the first W
-    # samples against the whole frame. No aliasing as long as
-    # nfft ≥ W + max_lag: every product index j+τ < W + max_lag stays
+    # cross terms Σ_{j=0}^{w} x_j·x_{j+τ} via rFFT cross-correlation of the
+    # first w+1 samples against the whole frame. No aliasing as long as
+    # nfft ≥ w + 1 + max_lag: every product index j+τ ≤ w + max_lag stays
     # inside one period, so the circular correlation equals the linear one
-    # on the lags read below (the previous 2·n sizing was 2× oversized —
-    # the FFTs are the dominant pyin cost on TPU).
-    nfft = int(2 ** np.ceil(np.log2(max(n, w + max_lag))))
+    # on the lags read below.
+    nfft = int(2 ** np.ceil(np.log2(max(n, w + 1 + max_lag))))
     spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    specw = jnp.fft.rfft(frames[..., :w], n=nfft, axis=-1)
+    specw = jnp.fft.rfft(frames[..., : w + 1], n=nfft, axis=-1)
     cross = jnp.fft.irfft(jnp.conj(specw) * spec, n=nfft, axis=-1)[..., : max_lag + 1]
-    d = e0 + e_tau - 2.0 * cross
-    # CMNDF
-    dsum = jnp.cumsum(d[..., 1:], axis=-1)
-    tau_f = jnp.asarray(tau[1:], dtype=d.dtype)
-    cmndf = d[..., 1:] * tau_f / jnp.maximum(dsum, 1e-30)
-    return jnp.concatenate([jnp.ones_like(d[..., :1]), cmndf], axis=-1)
+    return _cmndf_from_terms(cross, e_tau, frames.dtype)
 
 
 def _sliding_cmndf(
     xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int, lag_block: int = 1
 ) -> jnp.ndarray:
-    """CMNDF d'(τ), τ∈[0, max_lag], for frames xp[f·hop : f·hop + w + max_lag]
+    """librosa CMNDF d'(τ), τ∈[0, max_lag], for frames starting at f·hop,
     WITHOUT materializing a frame matrix or running FFT correlations.
 
     YIN's difference function is unwindowed, so every frame quantity is a
-    plain window sum over a global product series:
-        cross[f, τ] = Σ_{j<w} xp[s+j]·xp[s+j+τ],   s = f·hop
-        e_tau[f, τ] = Σ_{j<w} xp[s+τ+j]²
-    Each is a sum over ``w`` consecutive samples of a per-τ series — and
-    frame starts are hop-aligned, so the sum decomposes into ``w//hop``
-    whole hop-row sums plus one partial row (the rms_envelope trick,
-    models/envelope.py). No long-range cumsum is involved (each frame value
-    is a fresh ~w/hop-term sum of row sums), so there is none of the
-    cancellation a global prefix-sum difference would suffer on long
-    signals. τ is processed in static blocks of ``lag_block``; 1 measured
-    fastest on v5e (larger blocks materialize a stacked [K, T] series in
-    HBM, which costs more than the extra kernel launches save).
+    plain window sum over a global product series (librosa's index quirks,
+    see _cmndf_from_terms):
+        cross[f, τ] = Σ_{j=0}^{w} xp[s+j]·xp[s+j+τ],     s = f·hop
+        e_tau[f, τ] = Σ_{j=1}^{w} xp[s+τ+j]²
+    Each is a sum over consecutive samples of a per-τ series — and frame
+    starts are hop-aligned, so the sum decomposes into whole hop-row sums
+    plus partial rows (the rms_envelope trick, models/envelope.py). No
+    long-range cumsum is involved (each frame value is a fresh ~w/hop-term
+    sum of row sums), so there is none of the cancellation a global
+    prefix-sum difference would suffer on long signals. τ is processed in
+    static blocks of ``lag_block``; 1 measured fastest on v5e (larger
+    blocks materialize a stacked [K, T] series in HBM, which costs more
+    than the extra kernel launches save).
 
-    Equal to ``yin_cmndf(frame_by_slices(xp, 0, nf, w+max_lag, hop), max_lag)``
-    up to float reduction order. On v5e this replaces the two 2048-pt rFFTs
-    + frame build (the dominant pyin cost) with ~1.2 GB of fused
-    elementwise/row-reduce traffic.
+    Equal to ``yin_cmndf(frame_by_slices(xp, 0, nf, w+max_lag+1, hop),
+    max_lag, win_length=w)`` up to float reduction order. On v5e this
+    replaces the two 2048-pt rFFTs + frame build (the dominant pyin cost)
+    with fused elementwise/row-reduce traffic.
     """
-    q, rem = divmod(w, hop)
-    n_rows = nf + q if rem else nf - 1 + q
-    need_len = n_rows * hop + max_lag
+    q1, rem1 = divmod(w + 1, hop)  # cross windows are w+1 long
+    n_rows = nf + q1 if rem1 else nf - 1 + q1
+    need_len = n_rows * hop + max_lag + 1
     if xp.shape[-1] < need_len:
         cfgp = [(0, 0)] * (xp.ndim - 1) + [(0, need_len - xp.shape[-1])]
         xp = jnp.pad(xp, cfgp)
     base = jax.lax.slice_in_dim(xp, 0, n_rows * hop, axis=-1)
-
-    def window_sums(series):  # [..., K, n_rows*hop] → [..., K, nf]
-        return hop_window_sums(series, nf, w, hop)
 
     cross_blocks, e_blocks = [], []
     for t0 in range(0, max_lag + 1, lag_block):
@@ -111,17 +146,18 @@ def _sliding_cmndf(
             [jax.lax.slice_in_dim(xp, t, t + n_rows * hop, axis=-1) for t in taus],
             axis=-2,
         )  # [..., K, n_rows*hop]
-        cross_blocks.append(window_sums(base[..., None, :] * shifted))
-        e_blocks.append(window_sums(shifted * shifted))
+        # energy windows start one sample later (librosa's shift): series
+        # xp[s+τ+1+j]², summed over j < w
+        shifted1 = jnp.stack(
+            [jax.lax.slice_in_dim(xp, t + 1, t + 1 + n_rows * hop, axis=-1) for t in taus],
+            axis=-2,
+        )
+        cross_blocks.append(hop_window_sums(base[..., None, :] * shifted, nf, w + 1, hop))
+        e_blocks.append(hop_window_sums(shifted1 * shifted1, nf, w, hop))
     # [..., nf, max_lag+1]
     cross = jnp.moveaxis(jnp.concatenate(cross_blocks, axis=-2), -2, -1)
     e_tau = jnp.moveaxis(jnp.concatenate(e_blocks, axis=-2), -2, -1)
-    e0 = e_tau[..., :1]
-    d = e0 + e_tau - 2.0 * cross
-    dsum = jnp.cumsum(d[..., 1:], axis=-1)
-    tau_f = jnp.arange(1, max_lag + 1, dtype=d.dtype)
-    cmndf = d[..., 1:] * tau_f / jnp.maximum(dsum, 1e-30)
-    return jnp.concatenate([jnp.ones_like(d[..., :1]), cmndf], axis=-1)
+    return _cmndf_from_terms(cross, e_tau, xp.dtype)
 
 
 @lru_cache(maxsize=32)
@@ -129,6 +165,38 @@ def _beta_threshold_probs(n_thresholds: int, a: float, b: float) -> np.ndarray:
     thresholds = np.linspace(0, 1, n_thresholds + 1)
     cdf = scipy.stats.beta.cdf(thresholds, a, b)
     return np.diff(cdf)
+
+
+def _triang_window(m: int) -> np.ndarray:
+    """scipy.signal.windows.triang(M, sym=True), host-side f64."""
+    n = np.arange(1, (m + 1) // 2 + 1, dtype=np.float64)
+    if m % 2 == 0:
+        w = (2 * n - 1.0) / m
+        return np.concatenate([w, w[::-1]])
+    w = 2.0 * n / (m + 1.0)
+    return np.concatenate([w, w[-2::-1]])
+
+
+@lru_cache(maxsize=32)
+def _transition_local(n_states: int, width: float) -> np.ndarray:
+    """librosa.sequence.transition_local(n, width, window='triangle',
+    wrap=False), host-side f64: row i carries a triangular window of FULL
+    length int(width) centered at column i (librosa's pad_center + roll
+    construction), truncated at the band edges and row-normalized."""
+    m = int(width)
+    if m > n_states:
+        raise ValueError(f"transition window {m} exceeds n_states {n_states}")
+    win = _triang_window(m)
+    base = np.zeros(n_states)
+    lo = (n_states - m) // 2  # librosa util.pad_center left offset
+    base[lo : lo + m] = win
+    trans = np.zeros((n_states, n_states))
+    for i in range(n_states):
+        row = np.roll(base, n_states // 2 + i + 1)
+        row[min(n_states, i + m // 2 + 1) :] = 0
+        row[: max(0, i - m // 2)] = 0
+        trans[i] = row
+    return trans / trans.sum(axis=1, keepdims=True)
 
 
 def _boltzmann_pmf(k, lam, n):
@@ -193,47 +261,52 @@ def pyin_f0(
     else:
         xp = x
         nf = max(1, 1 + (n - frame_length) // hop_length)
-    min_lag = max(2, int(np.floor(sr / fmax)))
-    max_lag_f0 = min(win_length - 1, int(np.ceil(sr / fmin)))
-    # CMNDF is only read through lag max_lag_f0+1 (the band's right
-    # neighbor), and d(τ≤L) touches samples x[j<W+L] only — so build the
-    # frames W+L wide on the same grid and compute L+1 lags instead of
-    # win_length+1. Exact (yin_cmndf derives W = n − max_lag, preserved by
-    # construction); at the 10 kHz defaults this shrinks the difference
-    # function ~7.5× and halves the correlation FFT (nfft 4096→2048).
-    ml = max_lag_f0 + 1
-    if win_length + ml > frame_length:
-        # librosa.yin's own constraint: d(τ) reads x[j < win_length + τ],
-        # so the frame must hold win_length + max_lag samples. (An earlier
-        # fallback silently shrank W to frame_length − ml here, which is a
-        # different difference function.)
+    # librosa.yin/pyin lag band: max_period is clipped so every read stays
+    # inside the frame (d(τ) touches x[j ≤ win_length + τ]); non-default
+    # win_length/fmin configs proceed with a narrower band instead of
+    # erroring, exactly as the reference's librosa call does.
+    min_lag = max(1, int(np.floor(sr / fmax)))
+    max_lag_f0 = min(int(np.ceil(sr / fmin)), frame_length - win_length - 1)
+    if max_lag_f0 <= min_lag:
         raise ValueError(
             f"frame_length={frame_length} too short for win_length="
-            f"{win_length} with fmin={fmin} (needs >= {win_length + ml})"
+            f"{win_length} with fmin={fmin}/fmax={fmax}: empty lag band"
         )
-    # frameless path: window sums over global product series (see
-    # _sliding_cmndf) — no frame matrix, no FFTs
+    # d(τ ≤ L) touches samples x[j ≤ w+L] only — so build the sliding
+    # windows w+L+1 wide on the same grid and compute L+1 lags instead of
+    # frame_length; at the 10 kHz defaults this shrinks the difference
+    # function ~7.5×. Frameless path: window sums over global product
+    # series (see _sliding_cmndf) — no frame matrix, no FFTs.
+    ml = max_lag_f0
     cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml)
     # All troughs live in the static lag band [min_lag, max_lag_f0] — the
     # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
     # the full lag axis (L≈frame_length/2) that is ~GBs per utterance and
     # crashes the TPU compiler; on the band (L≈120 at default fmin/fmax)
     # the same computation is exact and two orders of magnitude smaller.
-    # Neighbors for the trough test/parabola come from the band ±1 slice.
-    band = jax.lax.slice_in_dim(cm, min_lag - 1, max_lag_f0 + 2, axis=-1)
-    cmb = band[..., 1:-1]  # [NF, L] lags min_lag..max_lag_f0
+    cmb = jax.lax.slice_in_dim(cm, min_lag, max_lag_f0 + 1, axis=-1)  # [NF, L]
     lag = np.arange(min_lag, max_lag_f0 + 1)
-    left = band[..., :-2]
-    right = band[..., 2:]
+    # librosa trough rules on the band (util.localmin with edge padding,
+    # then the pyin first-bin override): interior strict-left/loose-right,
+    # first bin iff band[0] < band[1], last bin iff band[-1] < band[-2].
+    left = jnp.concatenate([cmb[..., :1], cmb[..., :-1]], axis=-1)
+    right = jnp.concatenate([cmb[..., 1:], cmb[..., -1:]], axis=-1)
     is_trough = (cmb < left) & (cmb <= right)
+    first = (cmb[..., :1] < cmb[..., 1:2])
+    is_trough = jnp.concatenate([first, is_trough[..., 1:]], axis=-1)
     cm = cmb
 
-    # parabolic refinement of trough lag/value
+    # parabolic refinement of the trough PERIOD only (librosa refines the
+    # decoded frequency but thresholds on the raw CMNDF heights); band
+    # edges get shift 0, and librosa zeroes |shift| > 1 rather than
+    # clipping. denominator == 0 cannot happen at a genuine trough.
     denom = left - 2 * cm + right
-    shift = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (left - right) / denom, 0.0)
-    shift = jnp.clip(shift, -0.5, 0.5)
+    shift = jnp.where(denom != 0, 0.5 * (left - right) / denom, 0.0)
+    shift = jnp.where(jnp.abs(shift) > 1.0, 0.0, shift)
+    edge = np.zeros(len(lag), dtype=bool)
+    edge[0] = edge[-1] = True
+    shift = jnp.where(jnp.asarray(edge), 0.0, shift)
     lag_ref = jnp.asarray(lag, dtype=cm.dtype) + shift
-    val_ref = cm - 0.25 * (left - right) * shift
 
     beta_probs = jnp.asarray(
         _beta_threshold_probs(n_thresholds, float(beta_parameters[0]), float(beta_parameters[1])),
@@ -241,7 +314,7 @@ def pyin_f0(
     )
     thresholds = jnp.asarray(np.linspace(0, 1, n_thresholds + 1)[1:], dtype=cm.dtype)
 
-    big_val = jnp.where(is_trough, val_ref, jnp.inf)
+    big_val = jnp.where(is_trough, cm, jnp.inf)
     # below[i, f, τ]: trough τ of frame f under threshold i
     below = (big_val[None, :, :] < thresholds[:, None, None]) & is_trough[None, :, :]
     position = jnp.cumsum(below, axis=-1) - 1  # rank among troughs below, τ-order
@@ -250,57 +323,71 @@ def pyin_f0(
     contrib = jnp.where(below, prior, 0.0) * beta_probs[:, None, None]
     probs = jnp.sum(contrib, axis=0)  # [NF, L]
 
-    # thresholds with no trough → no_trough_prob mass at the global minimum
-    # of the RAW band CMNDF (librosa pyin's yin_frames.argmin; the earlier
-    # argmin over the inf-masked trough array made troughless frames pick
-    # index 0, whose NaN parabola cast to bin 0 = fmin — a silent-frame
-    # artifact the r2 golden had pinned)
+    # thresholds with no trough below them → no_trough_prob mass at the
+    # LOWEST TROUGH (librosa: argmin of trough heights — which may differ
+    # from the raw band argmin when the band minimum is not a local min),
+    # and only when the frame has at least one trough (librosa `continue`s
+    # troughless frames, leaving them all-unvoiced).
     any_below = (n_below[..., 0] > 0)  # [n_thr, NF]
     miss_mass = jnp.sum(jnp.where(any_below, 0.0, beta_probs[:, None]), axis=0)  # [NF]
-    gmin = jnp.argmin(cm, axis=-1)
-    probs = probs + no_trough_prob * miss_mass[:, None] * jax.nn.one_hot(gmin, probs.shape[-1], dtype=cm.dtype)
-
-    freqs = sr / jnp.maximum(lag_ref, 1e-6)
-
-    # pitch-bin grid
-    n_bins = int(np.floor(12.0 * np.log2(fmax / fmin) / resolution)) + 1
-    bin_idx = jnp.clip(
-        jnp.round(12.0 * jnp.log2(jnp.maximum(freqs, 1e-6) / fmin) / resolution).astype(jnp.int32),
-        0,
-        n_bins - 1,
+    has_trough = jnp.any(is_trough, axis=-1)
+    gmin = jnp.argmin(big_val, axis=-1)  # first lowest trough (inf elsewhere)
+    probs = probs + (
+        no_trough_prob
+        * miss_mass[:, None]
+        * jnp.where(has_trough, 1.0, 0.0)[:, None]
+        * jax.nn.one_hot(gmin, probs.shape[-1], dtype=cm.dtype)
     )
+
+    freqs = sr / jnp.maximum(lag_ref, jnp.finfo(cm.dtype).tiny)
+
+    # pitch-bin grid (librosa: ceil(1/resolution) bins per semitone)
+    nbps = int(np.ceil(1.0 / resolution))
+    n_bins = int(np.floor(12.0 * nbps * np.log2(fmax / fmin))) + 1
+    bin_f = jnp.round(12.0 * nbps * jnp.log2(jnp.maximum(freqs, 1e-12) / fmin))
+    # librosa clips the rounded bin into [0, n_bins] INCLUSIVE — index
+    # n_bins lands in the unvoiced block whose rows are then overwritten,
+    # so candidates rounding above the top bin are dropped entirely.
+    keep = bin_f <= (n_bins - 1)
+    bin_idx = jnp.clip(bin_f.astype(jnp.int32), 0, n_bins - 1)
     # bin projection as a fused one-hot reduction (scatter-add lowers to a
-    # slow sort-based scatter on TPU; the compare-multiply-reduce fuses)
+    # slow sort-based scatter on TPU; the compare-multiply-reduce fuses).
+    # librosa's fancy assignment is last-write-wins on duplicate bins; at
+    # pyin resolutions two troughs cannot round to one bin (adjacent lags
+    # are > 1 bin apart over the whole band), so sum == set here.
     obs_v = jnp.sum(
-        probs[..., None] * (bin_idx[..., None] == jnp.arange(n_bins)), axis=-2
+        jnp.where(keep, probs, 0.0)[..., None]
+        * (bin_idx[..., None] == jnp.arange(n_bins)),
+        axis=-2,
     )
     voiced_prob = jnp.clip(jnp.sum(obs_v, axis=-1), 0.0, 1.0)
     obs_u = jnp.broadcast_to(((1.0 - voiced_prob) / n_bins)[:, None], obs_v.shape)
     obs = jnp.concatenate([obs_v, obs_u], axis=-1)  # [NF, 2*n_bins]
 
-    # transition matrix: triangular local moves, voiced/unvoiced switch
-    width = max(1, int(round(max_transition_rate * 12.0 * hop_length / sr / resolution)))
-    tri = np.zeros((n_bins, n_bins))
-    for off in range(-width, width + 1):
-        wgt = width + 1 - abs(off)
-        di = np.arange(max(0, -off), min(n_bins, n_bins - off))
-        tri[di, di + off] = wgt
-    tri = tri / tri.sum(axis=1, keepdims=True)
+    # transition matrix: librosa transition_local triangular window (FULL
+    # length int(rate·12·nbps·hop/sr) — not a half-width) kron'd with the
+    # voiced/unvoiced switch loop
+    twidth = max_transition_rate * 12.0 * nbps * hop_length / sr
+    tri = _transition_local(n_bins, twidth)
     t_full = np.block(
         [
             [(1 - switch_prob) * tri, switch_prob * tri],
             [switch_prob * tri, (1 - switch_prob) * tri],
         ]
     )
-    log_t = jnp.asarray(np.log(np.maximum(t_full, 1e-30)), dtype=cm.dtype)
-    log_obs = jnp.log(jnp.maximum(obs, 1e-30))
+    tiny = float(jnp.finfo(cm.dtype).tiny)
+    log_t = jnp.asarray(np.log(t_full + tiny), dtype=cm.dtype)
+    log_obs = jnp.log(obs + tiny)
 
     def vstep(delta, lo):
         scores = delta[:, None] + log_t
         best = jnp.argmax(scores, axis=0)
         return jnp.max(scores, axis=0) + lo, best
 
-    delta0 = log_obs[0] + jnp.log(1.0 / (2 * n_bins))
+    # librosa p_init: uniform over the UNVOICED states only
+    p_init = np.zeros(2 * n_bins)
+    p_init[n_bins:] = 1.0 / n_bins
+    delta0 = log_obs[0] + jnp.asarray(np.log(p_init + tiny), dtype=cm.dtype)
     delta_f, bps = jax.lax.scan(vstep, delta0, log_obs[1:])
     last = jnp.argmax(delta_f if nf > 1 else delta0)
 
@@ -312,5 +399,5 @@ def pyin_f0(
     path = jnp.concatenate([path_rev, jnp.asarray([last])])
     voiced = path < n_bins
     bin_of = jnp.where(voiced, path, path - n_bins)
-    f0 = fmin * 2.0 ** (bin_of.astype(cm.dtype) * resolution / 12.0)
+    f0 = fmin * 2.0 ** (bin_of.astype(cm.dtype) / (12.0 * nbps))
     return jnp.where(voiced, f0, 0.0)

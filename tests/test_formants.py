@@ -92,3 +92,38 @@ def test_intensity_gating_drops_silence():
     silent = t_all < 0.4
     assert keep[silent].mean() < 0.2
     assert keep[~silent].mean() > 0.5
+
+
+def test_burg_recursion_matches_published_oracle(rng):
+    """burg_lpc vs the float64 Burg recursion written straight from the
+    published Andersen recursion (oracle.burg_np) — VERDICT r2 #4."""
+    from modulation_mfcc_tpu.ops.lpc import burg_lpc
+    from modulation_mfcc_tpu.oracle import burg_np
+
+    frames = rng.standard_normal((6, 550))
+    for order in (8, 10, 16):
+        got = np.asarray(burg_lpc(jnp.asarray(frames), order))
+        want = np.stack([burg_np(f, order) for f in frames])
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_lpc_formants_matches_float64_oracle(speechlike):
+    """Full formant chain (pre-emphasis → Praat Gaussian window → Burg →
+    roots → band filter → sort) vs the float64 oracle using np.roots
+    instead of Durand-Kerner. NaN patterns identical; freqs/bandwidths to
+    sub-Hz."""
+    from modulation_mfcc_tpu.ops.lpc import lpc_formants
+    from modulation_mfcc_tpu.oracle import praat_formants_np
+
+    y, sr = speechlike
+    y = y[: sr]
+    got_f, got_b = lpc_formants(
+        jnp.asarray(y), sr=float(sr), max_formant=sr / 2, burg_engine="xla"
+    )
+    _, want_f, want_b = praat_formants_np(y, sr, max_formant=sr / 2)
+    got_f, got_b = np.asarray(got_f), np.asarray(got_b)
+    np.testing.assert_array_equal(np.isfinite(got_f), np.isfinite(want_f))
+    m = np.isfinite(want_f)
+    np.testing.assert_allclose(got_f[m], want_f[m], atol=0.05)
+    mb = m & np.isfinite(want_b) & np.isfinite(got_b)
+    np.testing.assert_allclose(got_b[mb], want_b[mb], atol=0.05)

@@ -194,3 +194,41 @@ def test_hop_window_sums_edges(rng):
         want = np.array([y[f*hop : f*hop + w].sum() for f in range(nf)])
         got = np.asarray(hop_window_sums(jnp.asarray(y), nf, w, hop))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_spectrogram_zoom_blur():
+    """Reference display smoothing (praat_py_ui/spectrogram.py:70-71):
+    order-4 spline zoom ×6 with matching re-gridded axes."""
+    from modulation_mfcc_tpu.models.sound import praat_spectrogram
+
+    sr = 10_000
+    t = np.arange(sr // 2) / sr
+    y = np.sin(2 * np.pi * 800 * t)
+    plain = praat_spectrogram(y, sr)
+    blurred = praat_spectrogram(y, sr, zoom_blur=True)
+    assert blurred.data_matrix.shape == (plain.data_matrix.shape[0] * 6, plain.data_matrix.shape[1] * 6)
+    assert blurred.timestamps[0] == plain.timestamps[0] and abs(blurred.timestamps[-1] - plain.timestamps[-1]) < 1e-9
+    # the hot band stays at the tone frequency after smoothing
+    hot = blurred.frequencies[np.argmax(blurred.data_matrix.mean(axis=1))]
+    assert abs(hot - 800.0) < 100.0
+
+
+def test_animate_position_callback_sequence():
+    """Playback-cursor animation (reference main.py:2081-2098): positions
+    advance monotonically start→end, then None signals cursor hide."""
+    from modulation_mfcc_tpu.io.audio_device import animate_position
+
+    seen = []
+    fake_t = [0.0]
+
+    def now():
+        return fake_t[0]
+
+    def sleep(dt):
+        fake_t[0] += max(dt, 1e-3)
+
+    animate_position(1.0, 1.1, seen.append, fps=60.0, clock=(now, sleep))
+    assert seen[-1] is None
+    pos = [p for p in seen if p is not None]
+    assert pos[0] == 1.0 and pos[-1] == 1.1
+    assert all(b >= a for a, b in zip(pos, pos[1:]))

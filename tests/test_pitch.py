@@ -219,3 +219,20 @@ def test_pitch_ac_short_signal_unvoiced():
     for method in ("ac", "cc"):
         f0 = np.asarray(pitch_ac(y, sr=16_000.0, method=method))
         assert f0.shape[0] >= 1 and np.all(f0 >= 0.0)
+
+
+def test_pitch_ac_matches_boersma_oracle(speechlike):
+    """Derivation-independent check vs the float64 Boersma-1993 oracle
+    (oracle.boersma_pitch_np: direct lag sums, per-candidate Brent sinc
+    refinement, explicit Viterbi — VERDICT r2 #4). Voicing decisions must
+    be identical; voiced f0 agrees to well under the tracker's precision
+    (the documented sinc-anchoring deviation is ~0.05 Hz here)."""
+    from modulation_mfcc_tpu.oracle import boersma_pitch_np
+
+    y, sr = speechlike
+    want = boersma_pitch_np(y, sr)
+    got = np.asarray(pitch_ac(jnp.asarray(y), sr=float(sr), ac_engine="fft"))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got > 0, want > 0)
+    v = want > 0
+    np.testing.assert_allclose(got[v], want[v], atol=0.2)

@@ -11,18 +11,23 @@ SR = 10_000
 
 
 def test_cmndf_matches_direct(rng):
+    # librosa's difference function quirks, written out directly: the
+    # correlation sums j = 0..w INCLUSIVE, the energies sum
+    # j = tau+1..tau+w, small values snap to zero.
     n, max_lag = 512, 200
+    w = n - max_lag - 1
     x = rng.standard_normal(n)
-    w = n - max_lag
-    d = np.zeros(max_lag + 1)
+    c = np.zeros(max_lag + 1)
+    e = np.zeros(max_lag + 1)
     for tau in range(max_lag + 1):
-        diff = x[:w] - x[tau : tau + w]
-        d[tau] = np.sum(diff**2)
+        c[tau] = np.sum(x[: w + 1] * x[tau : tau + w + 1])
+        e[tau] = np.sum(x[tau + 1 : tau + w + 1] ** 2)
+    c[np.abs(c) < 1e-6] = 0.0
+    e[np.abs(e) < 1e-6] = 0.0
+    d = e[0] + e - 2 * c
     cm = np.ones(max_lag + 1)
-    run = 0.0
     for tau in range(1, max_lag + 1):
-        run += d[tau]
-        cm[tau] = d[tau] * tau / run if run > 0 else 1.0
+        cm[tau] = d[tau] / (np.mean(d[1 : tau + 1]) + np.finfo(np.float64).tiny)
     got = np.asarray(yin_cmndf(jnp.asarray(x[None, :]), max_lag))[0]
     np.testing.assert_allclose(got, cm, rtol=1e-6, atol=1e-8)
 
@@ -65,8 +70,66 @@ def test_sliding_cmndf_matches_framed(rng):
 
     for hop, w, ml, n in ((10, 64, 17, 500), (7, 50, 12, 301), (25, 100, 30, 800)):
         x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-        nf = 1 + (n - (w + ml)) // hop
-        frames = frame_by_slices(x, 0, nf, w + ml, hop)
-        want = np.asarray(yin_cmndf(frames, ml))
+        nf = 1 + (n - (w + ml + 1)) // hop
+        frames = frame_by_slices(x, 0, nf, w + ml + 1, hop)
+        want = np.asarray(yin_cmndf(frames, ml, win_length=w))
         got = np.asarray(_sliding_cmndf(x, nf, hop, w, ml))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def _speechlike_sig():
+    rng = np.random.default_rng(20260816)
+    sr = 10_000
+    t = np.arange(int(2.0 * sr)) / sr
+    f0 = 120.0 + 30.0 * np.sin(2 * np.pi * 2.5 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    sig = sum((0.6 / k) * np.sin(k * phase) for k in range(1, 6))
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4.0 * t - np.pi / 2))
+    sig = sig * env + 0.01 * rng.standard_normal(len(t))
+    sig[: sr // 10] = 0.0
+    sig[-sr // 10 :] = 0.0
+    return sig, sr
+
+
+def test_pyin_matches_float64_oracle():
+    """Decoded pitch states must match the librosa-exact float64 oracle
+    (oracle.pyin_np) bit-for-bit on the speech-like fixture (VERDICT r2 #2)."""
+    from modulation_mfcc_tpu.oracle import pyin_np
+
+    sig, sr = _speechlike_sig()
+    of0, ovoiced, _ = pyin_np(sig, sr, hop_length=100)
+    jf0 = np.asarray(pyin_f0(jnp.asarray(sig), sr=float(sr)))
+    jvoiced = jf0 > 0
+    assert jf0.shape == of0.shape
+    np.testing.assert_array_equal(jvoiced, ovoiced)
+    np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
+    # sanity: the fixture exercises both voicing states
+    assert 0.2 < ovoiced.mean() < 0.95
+
+
+def test_cmndf_matches_oracle_band():
+    """Device CMNDF (sliding form) vs the oracle's float64 band <= 1e-6."""
+    from modulation_mfcc_tpu.ops.yin import _sliding_cmndf
+
+    sig, sr = _speechlike_sig()
+    frame_length, w, hop = 2048, 1024, 100
+    min_p = max(1, int(np.floor(sr / 600.0)))
+    max_p = min(int(np.ceil(sr / 75.0)), frame_length - w - 1)
+    xp = np.pad(sig, frame_length // 2)
+    nf = 1 + len(sig) // hop
+    cm = np.asarray(_sliding_cmndf(jnp.asarray(xp), nf, hop, w, max_p))
+    # oracle band via pyin_np internals: recompute directly
+    idx = np.arange(nf)[:, None] * hop + np.arange(frame_length)[None, :]
+    frames = xp[idx]
+    acf = np.empty((nf, max_p + 1))
+    for tau in range(max_p + 1):
+        acf[:, tau] = np.sum(frames[:, : w + 1] * frames[:, tau : tau + w + 1], axis=1)
+    acf[np.abs(acf) < 1e-6] = 0.0
+    cs = np.cumsum(frames**2, axis=1)
+    energy = (cs[:, w:] - cs[:, :-w])[:, : max_p + 1].copy()
+    energy[np.abs(energy) < 1e-6] = 0.0
+    d = energy[:, :1] + energy - 2.0 * acf
+    cum_mean = np.cumsum(d[:, 1:], axis=1) / np.arange(1, max_p + 1)
+    want = d[:, min_p:] / (cum_mean[:, min_p - 1 :] + np.finfo(np.float64).tiny)
+    got = cm[:, min_p:]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
