@@ -155,6 +155,7 @@ def main() -> None:
     batch, seconds, n_super = 128, 30.0, 8
     bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
     f32 = _throughput("pallas", batch, seconds, n_super)
+    i24 = _throughput("pallas_i24", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
     trackers = _tracker_throughput(16, seconds, 4)
     corpus = _corpus_throughput()
@@ -167,6 +168,7 @@ def main() -> None:
                 "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
                 "vs_baseline": round(bf16 / per_chip_target, 4),
                 "f32_parity_mode": round(f32, 3),
+                "i24_parity_mode": round(i24, 3),
                 "f32_x3_mode": round(x3, 3),
                 "tracker_sweep": round(trackers, 3),
                 "corpus_sweep": round(corpus, 3),

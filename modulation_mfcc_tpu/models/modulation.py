@@ -54,6 +54,10 @@ def mfcc_trajectories(
       * 'matmul'      — framing gather + windowed-DFT matmuls (MXU)
       * 'pallas'      — fused Pallas kernel, f32/HIGHEST (parity ≈1e-5 at
                         the MFCC level — the BASELINE ≤1e-4 mode)
+      * 'pallas_i24'  — fused Pallas kernel, fixed-point int8-plane DFT
+                        (exact 16-bit audio × 24-bit weights, int8 MXU
+                        rate): f32-grade MFCC parity at well above the
+                        'pallas' mode's throughput — the north-star mode
       * 'pallas_x3'   — fused Pallas kernel, 3-pass bf16-split matmuls:
                         ~1.35x 'pallas'; ~1e-3-grade MFCC error (fine for
                         feature extraction, not for strict parity)
@@ -63,15 +67,15 @@ def mfcc_trajectories(
     """
     if spectrum is None:
         spectrum = "fft" if use_fft else "matmul"
-    if spectrum not in ("fft", "matmul", "pallas", "pallas_x3", "pallas_bf16"):
+    if spectrum not in ("fft", "matmul", "pallas", "pallas_i24", "pallas_x3", "pallas_bf16"):
         raise ValueError(
             f"Unknown spectrum {spectrum!r}; one of fft, matmul, pallas, "
-            "pallas_x3, pallas_bf16"
+            "pallas_i24, pallas_x3, pallas_bf16"
         )
     if spectrum.startswith("pallas"):
         from modulation_mfcc_tpu.pallas.fused_frontend import fused_mfcc
 
-        algo = {"pallas": "f32", "pallas_x3": "x3", "pallas_bf16": "bf16"}[spectrum]
+        algo = {"pallas": "f32", "pallas_i24": "i24", "pallas_x3": "x3", "pallas_bf16": "bf16"}[spectrum]
         return fused_mfcc(
             y,
             sr=cfg.signal_sample_rate,

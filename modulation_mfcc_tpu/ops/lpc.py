@@ -77,7 +77,9 @@ def poly_roots_dk(coeffs: jnp.ndarray, iters: int = 60) -> jnp.ndarray:
         z_next = z_ - pz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
         return z_next, None
 
-    z, _ = jax.lax.scan(step, z, None, length=iters)
+    # unroll: each step is ~p² complex FMAs per frame — far below the
+    # per-step scan launch overhead at tracker scale
+    z, _ = jax.lax.scan(step, z, None, length=iters, unroll=8)
     return z
 
 

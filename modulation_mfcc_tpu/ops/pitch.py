@@ -114,7 +114,7 @@ def _sinc_weights(offsets: np.ndarray, depth: int) -> np.ndarray:
 
 
 def _refine_sinc_dense(
-    r_ext: jnp.ndarray, ext_left: int, lag_max: int, depth: int, grid: int = 33
+    r_ext: jnp.ndarray, ext_left: int, lag_max: int, depth: int, grid: int = 17
 ):
     """Windowed-sinc peak refinement of ``r_ext`` [..., L] for EVERY integer
     lag 0…lag_max at once: ``(pos_l, val_l)`` [..., lag_max+1] give, for

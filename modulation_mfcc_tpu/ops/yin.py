@@ -388,14 +388,17 @@ def pyin_f0(
     p_init = np.zeros(2 * n_bins)
     p_init[n_bins:] = 1.0 / n_bins
     delta0 = log_obs[0] + jnp.asarray(np.log(p_init + tiny), dtype=cm.dtype)
-    delta_f, bps = jax.lax.scan(vstep, delta0, log_obs[1:])
+    # unroll: the [S,S] max-plus body is small relative to the per-step scan
+    # launch overhead at S=720 (banding measured WORSE for the same reason —
+    # CLAUDE.md r2 notes); unrolling amortizes it 8x
+    delta_f, bps = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
     last = jnp.argmax(delta_f if nf > 1 else delta0)
 
     def back(nxt, bp):
         cur = bp[nxt]
         return cur, cur
 
-    _, path_rev = jax.lax.scan(back, last, bps, reverse=True)
+    _, path_rev = jax.lax.scan(back, last, bps, reverse=True, unroll=8)
     path = jnp.concatenate([path_rev, jnp.asarray([last])])
     voiced = path < n_bins
     bin_of = jnp.where(voiced, path, path - n_bins)

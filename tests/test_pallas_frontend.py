@@ -193,7 +193,25 @@ def test_x3_end_to_end_error_budget():
 
     cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
     want, _ = get_mfccs_change_np(sig.astype(np.float64), sr, max_freq=8000.0)
-    for spec, bound in (("pallas", 5e-5), ("pallas_x3", 1e-4)):
+    for spec, bound in (("pallas", 5e-5), ("pallas_i24", 5e-5), ("pallas_x3", 1e-4)):
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(mfcc_change(jnp.asarray(sig), cfg, spectrum=spec))
         assert np.abs(got - want).max() < bound, spec
+
+
+def test_i24_matches_f32_grade(audio):
+    """The fixed-point i24 mode (int8 digit-plane DFT) must hold f32-grade
+    MFCC parity: within the same 1e-4 band as the f32 mode vs the rfft
+    oracle on the noise fixture (interpret mode; measured f32-equivalent
+    on hardware and in interpret: mel rel err 4.1e-4 vs f32's 3.9e-4 on
+    an adversarial two-tone, ~1e-5-grade here)."""
+    want = np.asarray(_reference(audio))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_mfcc(
+                audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0,
+                algorithm="i24",
+            )
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
