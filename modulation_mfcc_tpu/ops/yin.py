@@ -46,8 +46,6 @@ import scipy.stats
 import jax
 import jax.numpy as jnp
 
-from modulation_mfcc_tpu.ops.framing import hop_window_sums
-
 __all__ = ["pyin_f0", "yin_cmndf"]
 
 
@@ -106,58 +104,101 @@ def yin_cmndf(frames: jnp.ndarray, max_lag: int, win_length: int | None = None) 
 
 
 def _sliding_cmndf(
-    xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int, lag_block: int = 1
+    xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int
 ) -> jnp.ndarray:
     """librosa CMNDF d'(τ), τ∈[0, max_lag], for frames starting at f·hop,
-    WITHOUT materializing a frame matrix or running FFT correlations.
+    via ROW-LEVEL FFT correlations — no frame matrix, no per-τ loop.
 
     YIN's difference function is unwindowed, so every frame quantity is a
-    plain window sum over a global product series (librosa's index quirks,
+    plain window sum over a per-τ product series (librosa's index quirks,
     see _cmndf_from_terms):
         cross[f, τ] = Σ_{j=0}^{w} xp[s+j]·xp[s+j+τ],     s = f·hop
         e_tau[f, τ] = Σ_{j=1}^{w} xp[s+τ+j]²
-    Each is a sum over consecutive samples of a per-τ series — and frame
-    starts are hop-aligned, so the sum decomposes into whole hop-row sums
-    plus partial rows (the rms_envelope trick, models/envelope.py). No
-    long-range cumsum is involved (each frame value is a fresh ~w/hop-term
-    sum of row sums), so there is none of the cancellation a global
-    prefix-sum difference would suffer on long signals. τ is processed in
-    static blocks of ``lag_block``; 1 measured fastest on v5e (larger
-    blocks materialize a stacked [K, T] series in HBM, which costs more
-    than the extra kernel launches save).
+    Frame starts are hop-aligned, so each window sum decomposes into whole
+    hop-row sums plus one partial row (the rms_envelope trick). The row-
+    level sums are themselves short correlations: with R[u,r] = xp[u·hop+r]
+    and the local context C[u,m] = xp[u·hop+m] (m < hop+max_lag+1),
+        P_τ[u]  = Σ_{r<hop} R[u,r]·C[u,r+τ]          (cross row term)
+        Q_λ[u]  = Σ_{r<hop} C²[u,r+λ]                 (energy row term)
+    i.e. one FFT cross-correlation of each non-overlapping hop-row against
+    its short context — nfft = next_pow2(hop+max_lag+1) (256 at the 10 kHz
+    defaults) instead of one 2048-pt FFT per overlapping frame, a ~26×
+    FLOP cut with none of the per-τ kernel-launch overhead of the earlier
+    sliding-sum loop (stage-harness measured 19.5 → 9.9 ms per 8×30 s on
+    v5e at n_super=8, ~5 ms of which is fixed tunnel dispatch). librosa
+    itself computes the difference function by FFT autocorrelation, so FFT
+    reduction order is faithful to the reference (script/calc.py:562-581).
 
     Equal to ``yin_cmndf(frame_by_slices(xp, 0, nf, w+max_lag+1, hop),
-    max_lag, win_length=w)`` up to float reduction order. On v5e this
-    replaces the two 2048-pt rFFTs + frame build (the dominant pyin cost)
-    with fused elementwise/row-reduce traffic.
+    max_lag, win_length=w)`` up to float reduction order.
     """
-    q1, rem1 = divmod(w + 1, hop)  # cross windows are w+1 long
-    n_rows = nf + q1 if rem1 else nf - 1 + q1
-    need_len = n_rows * hop + max_lag + 1
+    q1, rem1 = divmod(w + 1, hop)  # cross windows are w+1 products long
+    q2, rem2 = divmod(w, hop)  # energy windows are w products long
+    n_rows = nf + q1  # last row read: f_max + q1 (partial), f_max = nf-1
+    m_ctx = hop + max_lag + 1  # context: r < hop, lag ≤ max_lag+1
+    nfft = int(2 ** np.ceil(np.log2(max(m_ctx, 2))))
+    need_len = (n_rows - 1) * hop + m_ctx
     if xp.shape[-1] < need_len:
         cfgp = [(0, 0)] * (xp.ndim - 1) + [(0, need_len - xp.shape[-1])]
         xp = jnp.pad(xp, cfgp)
-    base = jax.lax.slice_in_dim(xp, 0, n_rows * hop, axis=-1)
 
-    cross_blocks, e_blocks = [], []
-    for t0 in range(0, max_lag + 1, lag_block):
-        taus = range(t0, min(t0 + lag_block, max_lag + 1))
-        shifted = jnp.stack(
-            [jax.lax.slice_in_dim(xp, t, t + n_rows * hop, axis=-1) for t in taus],
-            axis=-2,
-        )  # [..., K, n_rows*hop]
-        # energy windows start one sample later (librosa's shift): series
-        # xp[s+τ+1+j]², summed over j < w
-        shifted1 = jnp.stack(
-            [jax.lax.slice_in_dim(xp, t + 1, t + 1 + n_rows * hop, axis=-1) for t in taus],
-            axis=-2,
+    # rows + shifted rows -> local context C[u, :m_ctx] (plain reshapes and
+    # static sublane shifts; rows are NON-overlapping so no frame blowup)
+    flat = jax.lax.slice_in_dim(xp, 0, n_rows * hop, axis=-1)
+    rows = flat.reshape(*flat.shape[:-1], n_rows, hop)
+    s_extra = -(-m_ctx // hop)  # ceil: extra row-shifts to cover m_ctx cols
+    shifts = [rows]
+    for k in range(1, s_extra + 1):
+        start = (n_rows + k) * hop
+        if xp.shape[-1] < start:
+            cfgp = [(0, 0)] * (xp.ndim - 1) + [(0, start - xp.shape[-1])]
+            xp = jnp.pad(xp, cfgp)
+        nxt = jax.lax.slice_in_dim(xp, k * hop, start, axis=-1)
+        shifts.append(nxt.reshape(*nxt.shape[:-1], n_rows, hop))
+    ctx = jax.lax.slice_in_dim(jnp.concatenate(shifts, axis=-1), 0, m_ctx, axis=-1)
+
+    dtype = xp.dtype
+    fc = jnp.fft.rfft(ctx, n=nfft, axis=-1)
+    fsq = jnp.fft.rfft(ctx * ctx, n=nfft, axis=-1)
+    fr = jnp.fft.rfft(rows, n=nfft, axis=-1)
+    # circular correlation == linear here: r + λ ≤ hop-1 + max_lag+1 < nfft
+    p_full = jnp.fft.irfft(jnp.conj(fr) * fc, n=nfft, axis=-1)
+    # energy row term: correlation against a ones(hop) window — constant
+    # spectra built ON DEVICE (complex never crosses the host boundary)
+    ones_hop = jnp.ones((hop,), dtype=dtype)
+    q_full = jnp.fft.irfft(
+        jnp.conj(jnp.fft.rfft(ones_hop, n=nfft)) * fsq, n=nfft, axis=-1
+    )
+
+    L = max_lag + 1
+
+    def window_sum(series_full, series_part, q, rem, lag_lo):
+        """Σ_{b<q} series_full[f+b, lag] (+ series_part[f+q, lag])."""
+        out = None
+        take = jax.lax.slice_in_dim(series_full, lag_lo, lag_lo + L, axis=-1)
+        for b in range(q):
+            sl = jax.lax.slice_in_dim(take, b, b + nf, axis=-2)
+            out = sl if out is None else out + sl
+        if rem:
+            tp = jax.lax.slice_in_dim(series_part, lag_lo, lag_lo + L, axis=-1)
+            sl = jax.lax.slice_in_dim(tp, q, q + nf, axis=-2)
+            out = sl if out is None else out + sl
+        return out
+
+    pp = None
+    if rem1:
+        fr1 = jnp.fft.rfft(jax.lax.slice_in_dim(rows, 0, rem1, axis=-1), n=nfft, axis=-1)
+        pp = jnp.fft.irfft(jnp.conj(fr1) * fc, n=nfft, axis=-1)
+    cross = window_sum(p_full, pp, q1, rem1, 0)
+
+    q_part = None
+    if rem2:
+        ones_rem = jnp.ones((rem2,), dtype=dtype)
+        q_part = jnp.fft.irfft(
+            jnp.conj(jnp.fft.rfft(ones_rem, n=nfft)) * fsq, n=nfft, axis=-1
         )
-        cross_blocks.append(hop_window_sums(base[..., None, :] * shifted, nf, w + 1, hop))
-        e_blocks.append(hop_window_sums(shifted1 * shifted1, nf, w, hop))
-    # [..., nf, max_lag+1]
-    cross = jnp.moveaxis(jnp.concatenate(cross_blocks, axis=-2), -2, -1)
-    e_tau = jnp.moveaxis(jnp.concatenate(e_blocks, axis=-2), -2, -1)
-    return _cmndf_from_terms(cross, e_tau, xp.dtype)
+    e_tau = window_sum(q_full, q_part, q2, rem2, 1)  # λ = τ + 1
+    return _cmndf_from_terms(cross, e_tau, dtype)
 
 
 @lru_cache(maxsize=32)
@@ -165,6 +206,12 @@ def _beta_threshold_probs(n_thresholds: int, a: float, b: float) -> np.ndarray:
     thresholds = np.linspace(0, 1, n_thresholds + 1)
     cdf = scipy.stats.beta.cdf(thresholds, a, b)
     return np.diff(cdf)
+
+
+def _boltzmann_pmf(k, lam, n):
+    """Truncated discrete exponential (Boltzmann) pmf, matching
+    scipy.stats.boltzmann.pmf(k, lam, N)."""
+    return (1 - jnp.exp(-lam)) * jnp.exp(-lam * k) / (1 - jnp.exp(-lam * n) + 1e-30)
 
 
 def _triang_window(m: int) -> np.ndarray:
@@ -197,12 +244,6 @@ def _transition_local(n_states: int, width: float) -> np.ndarray:
         row[: max(0, i - m // 2)] = 0
         trans[i] = row
     return trans / trans.sum(axis=1, keepdims=True)
-
-
-def _boltzmann_pmf(k, lam, n):
-    """Truncated discrete exponential (Boltzmann) pmf, matching
-    scipy.stats.boltzmann.pmf(k, lam, N)."""
-    return (1 - jnp.exp(-lam)) * jnp.exp(-lam * k) / (1 - jnp.exp(-lam * n) + 1e-30)
 
 
 @partial(
@@ -317,6 +358,8 @@ def pyin_f0(
     big_val = jnp.where(is_trough, cm, jnp.inf)
     # below[i, f, τ]: trough τ of frame f under threshold i
     below = (big_val[None, :, :] < thresholds[:, None, None]) & is_trough[None, :, :]
+    # (a cumprod-of-constants form that avoids these exps measured a wash
+    # on v5e — XLA already fuses the exp into the elementwise chain)
     position = jnp.cumsum(below, axis=-1) - 1  # rank among troughs below, τ-order
     n_below = jnp.sum(below, axis=-1, keepdims=True)
     prior = _boltzmann_pmf(position.astype(cm.dtype), float(boltzmann_parameter), n_below.astype(cm.dtype))
@@ -369,20 +412,40 @@ def pyin_f0(
     # voiced/unvoiced switch loop
     twidth = max_transition_rate * 12.0 * nbps * hop_length / sr
     tri = _transition_local(n_bins, twidth)
-    t_full = np.block(
-        [
-            [(1 - switch_prob) * tri, switch_prob * tri],
-            [switch_prob * tri, (1 - switch_prob) * tri],
-        ]
-    )
     tiny = float(jnp.finfo(cm.dtype).tiny)
-    log_t = jnp.asarray(np.log(t_full + tiny), dtype=cm.dtype)
+    # The full [2n, 2n] transition is kron([[1-s, s], [s, 1-s]], tri). In
+    # max-plus (log) space the block structure factors the relaxation:
+    #     δ'_V[v] = max_u ( max(δ_V[u]+log(1-s), δ_U[u]+log s) + log tri[u,v] )
+    # and symmetrically for δ'_U — two [n,n] max-plus products after a cheap
+    # [n] elementwise max, HALF the flops of the direct [2n,2n] product
+    # (measured 46 → ~24 ms of pyin's 66 on v5e, the post-CMNDF hot spot).
+    # log((1-s)·tri + tiny) is replaced by log(1-s) + log(tri + tiny): equal
+    # up to ulps (and -inf vs log(tiny) on the triangle's zero corners, which
+    # can never win the max since every column has nonzero support), so the
+    # decoded path still matches librosa's argmax over the dense matrix;
+    # only exact cross-block score ties (measure-zero) could tie-break
+    # differently.
+    log_tri = jnp.asarray(np.log(tri + tiny), dtype=cm.dtype)
+    c_stay = jnp.asarray(np.log(1.0 - switch_prob), dtype=cm.dtype)
+    c_sw = jnp.asarray(np.log(switch_prob), dtype=cm.dtype)
     log_obs = jnp.log(obs + tiny)
 
     def vstep(delta, lo):
-        scores = delta[:, None] + log_t
-        best = jnp.argmax(scores, axis=0)
-        return jnp.max(scores, axis=0) + lo, best
+        d_v, d_u = delta[:n_bins], delta[n_bins:]
+        # per-source best block, voiced preferred on ties (its state index
+        # is lower, matching argmax-first over the dense [2n, 2n] scores)
+        stay_v, sw_u = d_v + c_stay, d_u + c_sw
+        sw_v, stay_u = d_v + c_sw, d_u + c_stay
+        m_v = jnp.maximum(stay_v, sw_u)
+        sel_v = sw_u > stay_v  # True: source was unvoiced
+        m_u = jnp.maximum(sw_v, stay_u)
+        sel_u = stay_u > sw_v
+        scores_v = m_v[:, None] + log_tri
+        scores_u = m_u[:, None] + log_tri
+        bp_v = jnp.argmax(scores_v, axis=0)
+        bp_u = jnp.argmax(scores_u, axis=0)
+        new = jnp.concatenate([jnp.max(scores_v, axis=0), jnp.max(scores_u, axis=0)])
+        return new + lo, (jnp.stack([bp_v, bp_u]), jnp.stack([sel_v, sel_u]))
 
     # librosa p_init: uniform over the UNVOICED states only
     p_init = np.zeros(2 * n_bins)
@@ -391,14 +454,17 @@ def pyin_f0(
     # unroll: the [S,S] max-plus body is small relative to the per-step scan
     # launch overhead at S=720 (banding measured WORSE for the same reason —
     # CLAUDE.md r2 notes); unrolling amortizes it 8x
-    delta_f, bps = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
+    delta_f, (bps, sels) = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
     last = jnp.argmax(delta_f if nf > 1 else delta0)
 
-    def back(nxt, bp):
-        cur = bp[nxt]
+    def back(nxt, bp_sel):
+        bp2, sel2 = bp_sel
+        block = nxt // n_bins
+        base = bp2[block, nxt - block * n_bins]
+        cur = base + n_bins * sel2[block, base].astype(base.dtype)
         return cur, cur
 
-    _, path_rev = jax.lax.scan(back, last, bps, reverse=True, unroll=8)
+    _, path_rev = jax.lax.scan(back, last, (bps, sels), reverse=True, unroll=8)
     path = jnp.concatenate([path_rev, jnp.asarray([last])])
     voiced = path < n_bins
     bin_of = jnp.where(voiced, path, path - n_bins)
