@@ -430,22 +430,23 @@ def pyin_f0(
     c_sw = jnp.asarray(np.log(switch_prob), dtype=cm.dtype)
     log_obs = jnp.log(obs + tiny)
 
+    # Forward pass emits NO backpointers — only the per-step max (an [n,n]
+    # reduce) plus the incoming delta as scan output. The argmax that
+    # classic Viterbi stores per (step, state) is a second full [n,n]
+    # reduction (measured 8.6 ms of the 28.5 ms forward on v5e); the
+    # backtrace below recomputes it from the saved deltas only along the
+    # single decoded path — an O(n)-per-step rescan with bit-identical
+    # argmax inputs, so the decoded path is unchanged.
     def vstep(delta, lo):
         d_v, d_u = delta[:n_bins], delta[n_bins:]
         # per-source best block, voiced preferred on ties (its state index
         # is lower, matching argmax-first over the dense [2n, 2n] scores)
-        stay_v, sw_u = d_v + c_stay, d_u + c_sw
-        sw_v, stay_u = d_v + c_sw, d_u + c_stay
-        m_v = jnp.maximum(stay_v, sw_u)
-        sel_v = sw_u > stay_v  # True: source was unvoiced
-        m_u = jnp.maximum(sw_v, stay_u)
-        sel_u = stay_u > sw_v
-        scores_v = m_v[:, None] + log_tri
-        scores_u = m_u[:, None] + log_tri
-        bp_v = jnp.argmax(scores_v, axis=0)
-        bp_u = jnp.argmax(scores_u, axis=0)
-        new = jnp.concatenate([jnp.max(scores_v, axis=0), jnp.max(scores_u, axis=0)])
-        return new + lo, (jnp.stack([bp_v, bp_u]), jnp.stack([sel_v, sel_u]))
+        m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
+        m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
+        new = jnp.concatenate(
+            [jnp.max(m_v[:, None] + log_tri, axis=0), jnp.max(m_u[:, None] + log_tri, axis=0)]
+        )
+        return new + lo, delta
 
     # librosa p_init: uniform over the UNVOICED states only
     p_init = np.zeros(2 * n_bins)
@@ -454,17 +455,25 @@ def pyin_f0(
     # unroll: the [S,S] max-plus body is small relative to the per-step scan
     # launch overhead at S=720 (banding measured WORSE for the same reason —
     # CLAUDE.md r2 notes); unrolling amortizes it 8x
-    delta_f, (bps, sels) = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
+    delta_f, delta_hist = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
     last = jnp.argmax(delta_f if nf > 1 else delta0)
 
-    def back(nxt, bp_sel):
-        bp2, sel2 = bp_sel
-        block = nxt // n_bins
-        base = bp2[block, nxt - block * n_bins]
-        cur = base + n_bins * sel2[block, base].astype(base.dtype)
+    log_tri_t = log_tri.T  # row v = log_tri[:, v]: per-step column readout
+
+    def back(nxt, delta_prev):
+        d_v, d_u = delta_prev[:n_bins], delta_prev[n_bins:]
+        voiced_t = nxt < n_bins
+        pos = jnp.where(voiced_t, nxt, nxt - n_bins)
+        a = jnp.where(voiced_t, c_stay, c_sw)
+        b = jnp.where(voiced_t, c_sw, c_stay)
+        m = jnp.maximum(d_v + a, d_u + b)
+        sel = (d_u + b) > (d_v + a)  # True: source was unvoiced
+        col = jax.lax.dynamic_slice_in_dim(log_tri_t, pos, 1, axis=0)[0]
+        base = jnp.argmax(m + col)
+        cur = base + n_bins * sel[base].astype(base.dtype)
         return cur, cur
 
-    _, path_rev = jax.lax.scan(back, last, (bps, sels), reverse=True, unroll=8)
+    _, path_rev = jax.lax.scan(back, last, delta_hist, reverse=True, unroll=8)
     path = jnp.concatenate([path_rev, jnp.asarray([last])])
     voiced = path < n_bins
     bin_of = jnp.where(voiced, path, path - n_bins)
