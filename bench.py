@@ -157,7 +157,7 @@ def main() -> None:
     f32 = _throughput("pallas", batch, seconds, n_super)
     i24 = _throughput("pallas_i24", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
-    trackers = _tracker_throughput(16, seconds, 4)
+    trackers = _tracker_throughput(16, seconds, 8)
     corpus = _corpus_throughput()
     per_chip_target = 500.0 / 8.0
     print(

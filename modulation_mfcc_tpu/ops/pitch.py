@@ -37,7 +37,7 @@ scaled by ``0.01 / timeStep``; strengths use
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -113,6 +113,19 @@ def _sinc_weights(offsets: np.ndarray, depth: int) -> np.ndarray:
     return w
 
 
+@lru_cache(maxsize=8)
+def _sinc_band_matrix(grid: int, depth: int, nl: int) -> np.ndarray:
+    """Banded-GEMM operator [nl+S-1, grid·nl] for _refine_sinc_dense:
+    column g·nl+l carries the sinc weight column w[:, g] on input rows
+    l … l+S-1 (host-side f64 → contiguous band placement)."""
+    w = _sinc_weights(np.linspace(-1.0, 1.0, grid), depth)  # [S, G]
+    s = w.shape[0]
+    band = np.zeros((nl + s - 1, grid * nl), np.float64)
+    for l in range(nl):
+        band[l : l + s, np.arange(grid) * nl + l] = w
+    return band
+
+
 def _refine_sinc_dense(
     r_ext: jnp.ndarray, ext_left: int, lag_max: int, depth: int, grid: int = 17
 ):
@@ -137,30 +150,30 @@ def _refine_sinc_dense(
     peak (≈ milli-Hz-grade f0), matching Praat's Brent refinement to far
     below the tracker's own tolerance."""
     offs = np.linspace(-1.0, 1.0, grid)
-    w = jnp.asarray(_sinc_weights(offs, depth), dtype=r_ext.dtype)  # [S, G]
     S = 2 * depth + 3
     nl = lag_max + 1
     # The interpolant at every (lag, offset) pair is a 1-D correlation of
     # r_ext along the lag axis with the G weight rows: out[..., g, l] =
-    # Σ_s r_ext[..., start + l + s]·w[s, g]. Expressed as
-    # conv_general_dilated this never materializes the [..., nl, S]
-    # windows tensor (an earlier windows@w formulation built it from
-    # hop-1 slices — a ~2 GB strided concat at tracker scale, measured
-    # ~19 ms slower on v5e for 16×30 s); the MXU does the im2col
-    # implicitly. Bit-identical to the windows matmul (verified 0.0).
+    # Σ_s r_ext[..., start + l + s]·w[s, g]. Expressed as ONE banded GEMM
+    # — x [.., nl+S-1] @ Wband [nl+S-1, G·nl] with Wband[c, g·nl+l] =
+    # w[c-l, g] on the band 0 ≤ c-l < S — so the MXU sees a single large
+    # matmul and the [.., G, nl] layout falls out of a lane reshape.
+    # Measured on v5e at B=32, grid=17: banded GEMM 16.6 ms for the full
+    # stage vs 34.2 ms for the conv_general_dilated form it replaces (the
+    # conv lowering is slower AND feeds the argmax/readoffs a worse
+    # layout; an optimization_barrier changed nothing, so it was not
+    # fusion-rematerialization). The earlier windows@w formulation built
+    # an explicit [..., nl, S] windows tensor — a ~2 GB strided concat at
+    # tracker scale, ~19 ms slower still.
     lead = r_ext.shape[:-1]
     start = ext_left - (depth + 1)
-    x = r_ext.reshape(-1, 1, r_ext.shape[-1])  # [N, C=1, L]
-    x = jax.lax.slice_in_dim(x, start, start + nl + S - 1, axis=-1)
-    kern = w.T[:, None, :]  # [G out, 1 in, S]
-    interp = jax.lax.conv_general_dilated(
-        x,
-        kern,
-        (1,),
-        "VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(*lead, grid, nl)  # [..., G, nl] — conv's native layout, kept
+    x = jax.lax.slice_in_dim(r_ext, start, start + nl + S - 1, axis=-1)
+    wband = jnp.asarray(
+        _sinc_band_matrix(grid, depth, nl), dtype=r_ext.dtype
+    )  # [nl+S-1, G·nl]
+    interp = jnp.dot(x, wband, precision=jax.lax.Precision.HIGHEST).reshape(
+        *lead, grid, nl
+    )  # [..., G, nl]
     # interior argmax over the offset grid (offsets ±1 are the neighboring
     # integer samples — each lag is refined as if it were a discrete local
     # max, so the parabola always has both neighbors)
