@@ -144,7 +144,11 @@ def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
             sweep_mfcc_change(subset, sweep)
             return time.perf_counter() - t0
 
-        run(paths[:2], "warm")  # compile + thread-pool warmup
+        # warm with one FULL batch so the warm run compiles the same
+        # batch-32 executable the main run uses (a 2-file warm compiles a
+        # separate masked tiny-batch program — minutes on the remote
+        # compile service, entirely avoidable)
+        run(paths[: min(32, n_files)], "warm")
         wall = run(paths, "main")
         return n_files * seconds / 3600.0 / wall
     finally:

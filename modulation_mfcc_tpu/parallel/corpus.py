@@ -17,6 +17,7 @@ interaction, SURVEY.md §2e). Design:
 from __future__ import annotations
 
 import os
+from collections import deque
 from dataclasses import dataclass
 
 import numpy as np
@@ -69,6 +70,9 @@ def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg, 
         lengths = jax.lax.with_sharding_constraint(
             lengths, NamedSharding(mesh, P("data"))
         )
+    from modulation_mfcc_tpu.parallel.batch import dequantize_samples
+
+    samples = dequantize_samples(samples)  # int16 corpus buckets → f32
     out = {}
     ab = AudioBatch(samples, lengths)
     if "mfcc39" in features:
@@ -227,6 +231,14 @@ def _make_batch(group, t_pad):
     samples = np.zeros((len(sigs), t_pad), dtype=np.float32)
     for i, s in enumerate(sigs):
         samples[i, : len(s)] = s
+    # 16-bit-exact buckets (decoded straight from 16-bit PCM with no
+    # resampling) ship as int16 — half the host→device bytes on the
+    # bandwidth-limited link, dequantized EXACTLY on device
+    # (parallel/batch.dequantize_samples). Off-grid values (resampled or
+    # float-source files) keep the float32 path.
+    scaled = samples * np.float32(2.0**15)
+    if np.abs(scaled).max() <= 32767 and not np.any(scaled != np.round(scaled)):
+        samples = scaled.astype(np.int16)
     return paths, {"samples": samples, "lengths": lengths}
 
 
@@ -247,11 +259,13 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     decode = background_iter(_decode_stream(todo, sweep), maxsize=2 * sweep.batch_size)
     batches = _bucketed_batches(decode, sweep)
 
-    path_groups: list[list[str]] = []
+    # (paths, host-side lengths) per batch: lengths are host-known before
+    # upload, so the write-out loop never reads them back from the device
+    path_groups: list[tuple[list[str], np.ndarray]] = []
 
     def device_stream():
         for paths_b, arrays in batches:
-            path_groups.append(paths_b)
+            path_groups.append((paths_b, arrays["lengths"]))
             yield arrays
 
     mf = min_frames_for_fir(sweep.cfg)
@@ -274,34 +288,39 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             return tot, mask
         return run_batch(samples_d, lengths_d, fir_ok)
 
-    def extra_features(samples_d, lengths_d):
-        """Batched f0/envelope/mfcc39 tracks for the same bucket — one
-        fused program + one host fetch (see _extras_impl)."""
-        from modulation_mfcc_tpu.models.config import (
-            AmplitudeConfig,
-            F0Config,
-            FormantConfig,
+    from modulation_mfcc_tpu.models.config import (
+        AmplitudeConfig,
+        F0Config,
+        FormantConfig,
+    )
+
+    f0cfg = sweep.f0_cfg or F0Config()
+    acfg = sweep.amp_cfg or AmplitudeConfig()
+    fmcfg = sweep.formant_cfg or FormantConfig()
+    env_per_file = "envelope" in sweep.features and acfg.method == "RMSpraat"
+    jit_feats = tuple(
+        f
+        for f in ("mfcc39", "f0", "envelope", "formants")
+        if f in sweep.features and not (f == "envelope" and env_per_file)
+    )
+
+    def dispatch_extras(samples_d, lengths_d):
+        """Dispatch the fused extras program (one compiled program per
+        bucket, see _extras_impl) WITHOUT blocking — the pytree of device
+        arrays is fetched later in the same device_get as the headline
+        result, so each batch costs one host round trip total."""
+        if not jit_feats:
+            return None
+        return _extras_impl(
+            samples_d, lengths_d, sweep.cfg, sweep.spectrum,
+            jit_feats, f0cfg, acfg, fmcfg, sweep.mesh,
         )
 
+    def assemble_extras(host, samples_d, lengths_d):
+        """Format the fetched extras + run the (rare, host-synchronous)
+        per-file RMSpraat path."""
         out = {}
-        f0cfg = sweep.f0_cfg or F0Config()
-        acfg = sweep.amp_cfg or AmplitudeConfig()
-        fmcfg = sweep.formant_cfg or FormantConfig()
-        env_per_file = (
-            "envelope" in sweep.features and acfg.method == "RMSpraat"
-        )
-        jit_feats = tuple(
-            f
-            for f in ("mfcc39", "f0", "envelope", "formants")
-            if f in sweep.features and not (f == "envelope" and env_per_file)
-        )
-        if jit_feats:
-            host = jax.device_get(
-                _extras_impl(
-                    samples_d, lengths_d, sweep.cfg, sweep.spectrum,
-                    jit_feats, f0cfg, acfg, fmcfg, sweep.mesh,
-                )
-            )
+        if host is not None:
             if "mfcc39" in host:
                 out["mfcc39"] = (*host["mfcc39"], sweep.cfg.tStep)
             if "f0" in host:
@@ -320,6 +339,8 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             sr = float(sweep.cfg.signal_sample_rate)
             log_event("corpus.envelope_per_file", method=acfg.method)
             s_np = np.asarray(samples_d)
+            if np.issubdtype(s_np.dtype, np.integer):
+                s_np = s_np.astype(np.float32) * np.float32(2.0**-15)
             l_np = np.asarray(lengths_d)
             pairs = [
                 extract_envelope(s_np[i, : l_np[i]], sr, acfg)
@@ -337,31 +358,59 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             out["envelope"] = (vals, valid, hops)
         return out
 
+    # Software pipeline over batches: the loop dispatches batch k+1's
+    # programs BEFORE blocking on batch k's results, so device compute
+    # overlaps both the host npz writes and the (tunnel-latency-bound)
+    # result readback. Everything a batch produces comes back in ONE
+    # jax.device_get — the r2 loop's four blocking fetches per batch
+    # (lengths ×2, tot, mask) were pure tunnel round trips: lengths are
+    # host-known before upload and the frame mask is a closed-form
+    # function of them (frame_validity_mask: nf = 1 + len//hop).
+    pending: deque = deque()
+
+    def flush_one(done_f):
+        paths_b, lengths_np, tot_d, extras_d, samples_d, lengths_d = pending.popleft()
+        tot, extras_host = jax.device_get((tot_d, extras_d))
+        extras = assemble_extras(extras_host, samples_d, lengths_d)
+        for i, p in enumerate(paths_b):
+            n_i = int(lengths_np[i])
+            nf = min(1 + n_i // sweep.cfg.hop_length, tot.shape[-1])
+            times = change_times(n_i, sweep.cfg)[:nf]
+            out = os.path.join(sweep.out_dir, out_names[p])
+            rec = {"times": times, "mod_cepstr": tot[i, :nf]}
+            for name, (vals, valid, hop) in extras.items():
+                nvf = int(valid[i].sum())
+                hop_i = float(hop[i]) if isinstance(hop, np.ndarray) else hop
+                rec[name] = vals[i, :nvf]
+                rec[name + "_times"] = np.arange(nvf) * hop_i
+            np.savez(out, **rec)
+            done_f.write(p + "\n")
+            meter.add(n_i / sweep.cfg.signal_sample_rate)
+        done_f.flush()
+
     with open(_done_path(sweep), "a") as done_f:
         for arrays in prefetch_to_device(device_stream(), depth=2):
-            lengths_np = np.asarray(arrays["lengths"])
+            paths_b, lengths_np = path_groups.pop(0)
             nf_min = 1 + int(lengths_np.min()) // sweep.cfg.hop_length
             fir_ok = mf is not None and nf_min >= mf
-            tot, mask = run_mod(arrays["samples"], arrays["lengths"], fir_ok)
-            tot = np.asarray(tot)
-            mask_np = np.asarray(mask)
-            extras = extra_features(arrays["samples"], arrays["lengths"])
-            paths_b = path_groups.pop(0)
-            lengths = np.asarray(arrays["lengths"])
-            for i, p in enumerate(paths_b):
-                nf = int(mask_np[i].sum())
-                times = change_times(int(lengths[i]), sweep.cfg)[:nf]
-                out = os.path.join(sweep.out_dir, out_names[p])
-                rec = {"times": times, "mod_cepstr": tot[i, :nf]}
-                for name, (vals, valid, hop) in extras.items():
-                    nvf = int(valid[i].sum())
-                    hop_i = float(hop[i]) if isinstance(hop, np.ndarray) else hop
-                    rec[name] = vals[i, :nvf]
-                    rec[name + "_times"] = np.arange(nvf) * hop_i
-                np.savez(out, **rec)
-                done_f.write(p + "\n")
-                meter.add(float(lengths[i]) / sweep.cfg.signal_sample_rate)
-            done_f.flush()
+            tot, _mask = run_mod(arrays["samples"], arrays["lengths"], fir_ok)
+            extras_d = dispatch_extras(arrays["samples"], arrays["lengths"])
+            pending.append(
+                (
+                    paths_b,
+                    lengths_np,
+                    tot,
+                    extras_d,
+                    # device samples stay referenced only when the per-file
+                    # RMSpraat assembly will need them on the host
+                    arrays["samples"] if env_per_file else None,
+                    arrays["lengths"] if env_per_file else None,
+                )
+            )
+            if len(pending) >= 2:
+                flush_one(done_f)
+        while pending:
+            flush_one(done_f)
     report = meter.report()
     log_event("corpus.finish", **report)
     return report
