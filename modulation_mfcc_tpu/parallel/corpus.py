@@ -235,10 +235,14 @@ def _make_batch(group, t_pad):
     # resampling) ship as int16 — half the host→device bytes on the
     # bandwidth-limited link, dequantized EXACTLY on device
     # (parallel/batch.dequantize_samples). Off-grid values (resampled or
-    # float-source files) keep the float32 path.
+    # float-source files) keep the float32 path. The check is the cast
+    # itself: i16 round-trips to exactly the scaled value iff every sample
+    # is on the 16-bit grid (out-of-range values can't collide — the C
+    # truncating cast never lands on a float equal to the original).
     scaled = samples * np.float32(2.0**15)
-    if np.abs(scaled).max() <= 32767 and not np.any(scaled != np.round(scaled)):
-        samples = scaled.astype(np.int16)
+    as_i16 = scaled.astype(np.int16)
+    if np.array_equal(as_i16, scaled):
+        samples = as_i16
     return paths, {"samples": samples, "lengths": lengths}
 
 
@@ -257,7 +261,10 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
 
     meter = ThroughputMeter()
     decode = background_iter(_decode_stream(todo, sweep), maxsize=2 * sweep.batch_size)
-    batches = _bucketed_batches(decode, sweep)
+    # batch assembly (pad copy + int16-grid check) is itself ~0.3 s/GB of
+    # host passes — run it in a worker thread too so it overlaps the main
+    # loop's device dispatch/fetch (numpy releases the GIL)
+    batches = background_iter(_bucketed_batches(decode, sweep), maxsize=2)
 
     # (paths, host-side lengths) per batch: lengths are host-known before
     # upload, so the write-out loop never reads them back from the device
