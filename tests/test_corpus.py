@@ -134,3 +134,30 @@ def test_sweep_formants_feature(tmp_path):
     assert fr.ndim == 2 and fr.shape[1] == 5
     # some frames track at least one in-band formant
     assert np.isfinite(fr).any()
+
+
+def test_int16_upload_path_exact(tmp_path):
+    """16-bit-grid buckets ship as int16 and dequantize bit-identically;
+    off-grid (e.g. resampled) buckets keep float32."""
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.parallel.batch import dequantize_samples
+    from modulation_mfcc_tpu.parallel.corpus import _make_batch
+
+    rng = np.random.default_rng(3)
+    on_grid = (rng.integers(-(2**15), 2**15 - 1, 4000).astype(np.float32)) / 32768.0
+    _, arrays = _make_batch([("a.wav", on_grid)], 4096)
+    assert arrays["samples"].dtype == np.int16
+    deq = np.asarray(dequantize_samples(jnp.asarray(arrays["samples"])))
+    np.testing.assert_array_equal(deq[0, :4000], on_grid)
+    # edge value -1.0 (= -32768) is on-grid
+    _, arrays = _make_batch([("b.wav", np.full(100, -1.0, np.float32))], 128)
+    assert arrays["samples"].dtype == np.int16
+    # off-grid floats must NOT quantize
+    off = on_grid + 1e-6
+    _, arrays = _make_batch([("c.wav", off.astype(np.float32))], 4096)
+    assert arrays["samples"].dtype == np.float32
+    # out-of-range (>1) floats must NOT quantize (cast wraps, compare catches)
+    loud = np.full(100, 1.5, np.float32)
+    _, arrays = _make_batch([("d.wav", loud)], 128)
+    assert arrays["samples"].dtype == np.float32
