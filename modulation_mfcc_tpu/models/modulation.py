@@ -56,8 +56,11 @@ def mfcc_trajectories(
                         the MFCC level — the BASELINE ≤1e-4 mode)
       * 'pallas_i24'  — fused Pallas kernel, fixed-point int8-plane DFT
                         (exact 16-bit audio × 24-bit weights, int8 MXU
-                        rate): f32-grade MFCC parity at well above the
-                        'pallas' mode's throughput — the north-star mode
+                        rate): f32-grade MFCC parity, measured 1.22× the
+                        'pallas' mode on v5e (int8 only realizes 1.17×
+                        bf16 there — docs/DESIGN.md §5); the best
+                        ≤1e-4-at-MFCC mode, and sized to reach the
+                        62.5 h/s north star on hardware with true 2× int8
       * 'pallas_x3'   — fused Pallas kernel, 3-pass bf16-split matmuls:
                         ~1.35x 'pallas'; ~1e-3-grade MFCC error (fine for
                         feature extraction, not for strict parity)

@@ -135,14 +135,11 @@ def lpc_formants(
     hop = int(starts[1] - starts[0]) if len(starts) > 1 else 1
     frames = frame_by_slices(xp, int(starts[0]), len(starts), nw, hop)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    # Praat's formant Gaussian window (Sound_to_Formant.cpp): exp(-48 u²)
-    # with u = (i − imid)/(n+1), edge-subtracted and normalized — the same
-    # taper as the pitch tracker's AC_GAUSS window
-    i = np.arange(1, nw + 1, dtype=np.float64)
-    imid = 0.5 * (nw + 1)
-    edge = np.exp(-12.0)
-    w_np = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
-    w = jnp.asarray(w_np, dtype=x.dtype)
+    # Praat's formant Gaussian window (Sound_to_Formant.cpp) — one shared
+    # host-side design with the pitch tracker's AC_GAUSS taper
+    from modulation_mfcc_tpu.ops.windows import praat_gauss
+
+    w = jnp.asarray(praat_gauss(nw), dtype=x.dtype)
     frames = frames * w
     use_pallas = burg_engine == "pallas" or (
         burg_engine == "auto" and jax.default_backend() == "tpu"

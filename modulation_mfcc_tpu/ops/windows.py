@@ -40,6 +40,18 @@ def gaussian(m: int, std: float) -> np.ndarray:
     return np.exp(-0.5 * (n / std) ** 2)
 
 
+def praat_gauss(nw: int) -> np.ndarray:
+    """Praat's AC_GAUSS / formant Gaussian taper (host-side f64):
+    exp(−48·u²) with u = (i − imid)/(n+1), i = 1..n, edge-subtracted and
+    normalized so the (virtual) endpoints hit exactly 0 — shared by the
+    pitch tracker's veryAccurate window (Sound_to_Pitch.cpp) and the
+    formant pre-window (Sound_to_Formant.cpp)."""
+    i = np.arange(1, nw + 1, dtype=np.float64)
+    imid = 0.5 * (nw + 1)
+    edge = np.exp(-12.0)
+    return (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
+
+
 def kaiser(m: int, beta: float, periodic: bool = False) -> np.ndarray:
     """Kaiser window via numpy (i0-based), symmetric by default."""
     if periodic:

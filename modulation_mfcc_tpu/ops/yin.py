@@ -231,6 +231,10 @@ def _transition_local(n_states: int, width: float) -> np.ndarray:
     length int(width) centered at column i (librosa's pad_center + roll
     construction), truncated at the band edges and row-normalized."""
     m = int(width)
+    if m < 1:
+        # librosa raises ParameterError for width < 1; without this the
+        # empty triangle gives all-zero rows and 0/0 NaN normalization
+        raise ValueError(f"transition window width {width} must be >= 1")
     if m > n_states:
         raise ValueError(f"transition window {m} exceeds n_states {n_states}")
     win = _triang_window(m)
@@ -298,7 +302,10 @@ def pyin_f0(
     if center:
         pad = frame_length // 2
         xp = jnp.pad(x, (pad, pad), mode=pad_mode)
-        nf = 1 + n // hop_length
+        # librosa frame count on the padded signal: for even frame_length
+        # this is 1 + n//hop; odd frame_length loses one sample of span
+        # (2·(fl//2) − fl = −1), one frame fewer when hop divides n
+        nf = 1 + (n + 2 * pad - frame_length) // hop_length
     else:
         xp = x
         nf = max(1, 1 + (n - frame_length) // hop_length)
@@ -395,11 +402,29 @@ def pyin_f0(
     bin_idx = jnp.clip(bin_f.astype(jnp.int32), 0, n_bins - 1)
     # bin projection as a fused one-hot reduction (scatter-add lowers to a
     # slow sort-based scatter on TPU; the compare-multiply-reduce fuses).
-    # librosa's fancy assignment is last-write-wins on duplicate bins; at
-    # pyin resolutions two troughs cannot round to one bin (adjacent lags
-    # are > 1 bin apart over the whole band), so sum == set here.
+    # librosa's fancy assignment is last-write-wins on duplicate bins —
+    # which DOES occur (e.g. 44.1 kHz defaults: adjacent troughs round to
+    # one bin for lags ≳346 at 10 bins/semitone). librosa scatters only
+    # the POSITIVE-prob entries (np.nonzero(yin_probs)), so the LWW
+    # competition runs over candidates = kept positive-prob troughs, NOT
+    # the whole lag axis (a zero-prob neighbor sharing the bin must not
+    # knock a real trough out). Exact LWW without a scatter: refined lags
+    # strictly increase across troughs (troughs are ≥2 apart, |shift| < 1
+    # zeroed past ±1), so candidate bins are NON-INCREASING along τ and
+    # colliding bins are contiguous — candidate k wins its bin iff the
+    # nearest candidate to its right (= the running max of candidate bins
+    # over k' > k) carries a different bin.
+    cand = keep & (probs > 0)
+    bmask = jnp.where(cand, bin_idx, -1)
+    rmax = jnp.flip(
+        jax.lax.cummax(jnp.flip(bmask, -1), axis=bmask.ndim - 1), -1
+    )
+    rmax_next = jnp.concatenate(
+        [rmax[..., 1:], jnp.full_like(rmax[..., :1], -1)], axis=-1
+    )  # max candidate bin strictly to the right
+    win = cand & (bin_idx != rmax_next)
     obs_v = jnp.sum(
-        jnp.where(keep, probs, 0.0)[..., None]
+        jnp.where(win, probs, 0.0)[..., None]
         * (bin_idx[..., None] == jnp.arange(n_bins)),
         axis=-2,
     )

@@ -183,6 +183,8 @@ def transition_local_np(n_states: int, width: float) -> np.ndarray:
     pad_center'd to n, rolled so its peak lands on the diagonal, truncated
     to the band [i - width//2, i + width//2], and row-normalized."""
     m = int(width)
+    if m < 1:
+        raise ValueError(f"transition window width {width} must be >= 1")
     if m > n_states:
         raise ValueError(f"transition window {m} exceeds n_states {n_states}")
     base = np.zeros(n_states)

@@ -235,14 +235,17 @@ def _make_batch(group, t_pad):
     # resampling) ship as int16 — half the host→device bytes on the
     # bandwidth-limited link, dequantized EXACTLY on device
     # (parallel/batch.dequantize_samples). Off-grid values (resampled or
-    # float-source files) keep the float32 path. The check is the cast
-    # itself: i16 round-trips to exactly the scaled value iff every sample
-    # is on the 16-bit grid (out-of-range values can't collide — the C
-    # truncating cast never lands on a float equal to the original).
+    # float-source files) keep the float32 path. The range pre-check keeps
+    # NaN/out-of-range samples (hot-mastered or bad decodes) away from the
+    # implementation-defined float→int cast; within range, the cast IS the
+    # grid check (i16 round-trips to the scaled value iff on-grid).
     scaled = samples * np.float32(2.0**15)
-    as_i16 = scaled.astype(np.int16)
-    if np.array_equal(as_i16, scaled):
-        samples = as_i16
+    # truncation is well-defined exactly on [-32768, 32768); NaN fails
+    # both comparisons and keeps the float path
+    if scaled.min() >= -32768.0 and scaled.max() < 32768.0:
+        as_i16 = scaled.astype(np.int16)
+        if np.array_equal(as_i16, scaled):
+            samples = as_i16
     return paths, {"samples": samples, "lengths": lengths}
 
 
@@ -345,9 +348,9 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
 
             sr = float(sweep.cfg.signal_sample_rate)
             log_event("corpus.envelope_per_file", method=acfg.method)
-            s_np = np.asarray(samples_d)
-            if np.issubdtype(s_np.dtype, np.integer):
-                s_np = s_np.astype(np.float32) * np.float32(2.0**-15)
+            from modulation_mfcc_tpu.parallel.batch import dequantize_samples
+
+            s_np = np.asarray(dequantize_samples(np.asarray(samples_d)))
             l_np = np.asarray(lengths_d)
             pairs = [
                 extract_envelope(s_np[i, : l_np[i]], sr, acfg)

@@ -133,3 +133,34 @@ def test_cmndf_matches_oracle_band():
     want = d[:, min_p:] / (cum_mean[:, min_p - 1 :] + np.finfo(np.float64).tiny)
     got = cm[:, min_p:]
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_pyin_oracle_parity_collision_heavy():
+    """44.1 kHz wide-band config where adjacent lags round to ONE pitch bin
+    (lags >~346 at 10 bins/semitone): exercises the last-write-wins bin
+    projection, for both even and odd frame_length (odd loses one frame of
+    span under centered padding). Bit-for-bit vs the float64 oracle."""
+    from modulation_mfcc_tpu.oracle import pyin_np
+
+    rng = np.random.default_rng(0)
+    sr = 44100
+    t = np.arange(int(0.5 * sr)) / sr
+    x = (
+        np.sin(2 * np.pi * 110 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+        + 0.05 * rng.standard_normal(t.shape)
+    )
+    for fl in (2048, 2047):
+        of0, ovoiced, _ = pyin_np(
+            x, sr, fmin=65.0, fmax=2093.0, frame_length=fl,
+            hop_length=512, center=True,
+        )
+        jf0 = np.asarray(
+            pyin_f0(
+                jnp.asarray(x), sr=float(sr), fmin=65.0, fmax=2093.0,
+                frame_length=fl, hop=512 / sr, center=True,
+            )
+        )
+        assert jf0.shape == of0.shape
+        jvoiced = jf0 > 0
+        np.testing.assert_array_equal(jvoiced, ovoiced)
+        np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
