@@ -104,6 +104,39 @@ def _tracker_throughput(batch: int, seconds: float, n_super: int) -> float:
     return batch * seconds / 3600.0 / best
 
 
+def _pyin_throughput(batch: int, seconds: float, n_super: int) -> float:
+    """Probabilistic-YIN sweep (librosa.pyin parity path: sliding CMNDF,
+    sorted-segment threshold sweep, dense max-plus Viterbi) — audio-h/s/chip
+    at 10 kHz, same distinct-inputs lax.map methodology as the others."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.ops.yin import pyin_f0
+
+    sr = 10_000
+    t_pad = int(seconds * sr)
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    gen = jax.jit(lambda k: jax.random.normal(k, (n_super, batch, t_pad), jnp.float32))
+    xs = [gen(k) for k in keys]
+
+    @jax.jit
+    def many(stack):
+        def one_batch(xb):
+            return jnp.sum(jax.vmap(lambda y: pyin_f0(y, sr=float(sr)))(xb))
+
+        return jax.lax.map(one_batch, stack)
+
+    for x in xs:
+        float(jnp.sum(x))
+    float(jnp.sum(many(xs[0])))
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(many(xs[(trial + 1) % 2])))
+        best = min(best, (time.perf_counter() - t0) / n_super)
+    return batch * seconds / 3600.0 / best
+
+
 def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
     """END-TO-END corpus sweep: WAV files on disk → native decode → host
     bucketing/prefetch → bf16 device extraction → per-file .npz records.
@@ -162,6 +195,7 @@ def main() -> None:
     i24 = _throughput("pallas_i24", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
     trackers = _tracker_throughput(16, seconds, 8)
+    pyin = _pyin_throughput(8, seconds, 8)
     corpus = _corpus_throughput()
     per_chip_target = 500.0 / 8.0
     print(
@@ -175,6 +209,7 @@ def main() -> None:
                 "i24_parity_mode": round(i24, 3),
                 "f32_x3_mode": round(x3, 3),
                 "tracker_sweep": round(trackers, 3),
+                "pyin_sweep": round(pyin, 3),
                 "corpus_sweep": round(corpus, 3),
             }
         )

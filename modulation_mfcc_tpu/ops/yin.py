@@ -363,29 +363,79 @@ def pyin_f0(
     thresholds = jnp.asarray(np.linspace(0, 1, n_thresholds + 1)[1:], dtype=cm.dtype)
 
     big_val = jnp.where(is_trough, cm, jnp.inf)
-    # below[i, f, τ]: trough τ of frame f under threshold i
-    below = (big_val[None, :, :] < thresholds[:, None, None]) & is_trough[None, :, :]
-    # (a cumprod-of-constants form that avoids these exps measured a wash
-    # on v5e — XLA already fuses the exp into the elementwise chain)
-    position = jnp.cumsum(below, axis=-1) - 1  # rank among troughs below, τ-order
-    n_below = jnp.sum(below, axis=-1, keepdims=True)
-    prior = _boltzmann_pmf(position.astype(cm.dtype), float(boltzmann_parameter), n_below.astype(cm.dtype))
-    contrib = jnp.where(below, prior, 0.0) * beta_probs[:, None, None]
-    probs = jnp.sum(contrib, axis=0)  # [NF, L]
+    # Threshold sweep in SEGMENT form. The direct sweep materializes a
+    # [n_thresholds, NF, L] chain (below mask, τ-cumsum rank, Boltzmann,
+    # masked sum — ~6 HBM passes over 100·NF·L); but along the threshold
+    # axis everything is a step function that only jumps when a trough
+    # ENTERS (its height crosses a threshold). Sorting troughs by height
+    # turns the 100-threshold sum into a sum over at most K = ceil(L/2)
+    # entry segments (strict-left local minima can't be adjacent): on
+    # segment s (after the s+1 lowest troughs entered, before the next),
+    # n_below = s+1 is constant and the Boltzmann rank of trough j is
+    # pos[j,s] = #{entered troughs preceding τ_j} — a prefix count over
+    # the height order, i.e. ONE [K,K] matmul against a triangular mask
+    # (integer-exact even under the bf16 MXU: 0/1 operands, f32
+    # accumulation, counts ≤ K << 256). Segment beta masses come from the
+    # difference of per-trough tail masses A_j = Σ_i β_i·[h_j < thr_i], so
+    # no gather/searchsorted anywhere; the stable sort keeps τ order on
+    # ties, matching librosa's in-order fancy assignment. Net: the sweep
+    # drops from 100·NF·L to NF·K·K elements (~6× less traffic at the
+    # 10 kHz defaults) and measures ~2× on the whole pyin pipeline.
+    L = cmb.shape[-1]
+    K = (L + 1) // 2
+    idx0 = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32), big_val.shape
+    )
+    hs, taus = jax.lax.sort((big_val, idx0), dimension=-1, num_keys=1)
+    hK = jax.lax.slice_in_dim(hs, 0, K, axis=-1)  # heights, ascending
+    tK = jax.lax.slice_in_dim(taus, 0, K, axis=-1)  # their lag slots
+
+    # A_j: beta mass of thresholds ABOVE trough j's height (h_j < thr_i is
+    # librosa's strict 'below'); pads (h = inf) get A = 0. Segment masses
+    # are adjacent differences: W_s = A_s − A_{s+1}, W_{last real} = A.
+    A = jnp.sum(
+        jnp.where(hK[..., None] < thresholds, beta_probs, 0.0), axis=-1
+    )
+    W = A - jnp.concatenate(
+        [A[..., 1:], jnp.zeros_like(A[..., :1])], axis=-1
+    )
+
+    # pos[j, s] = # troughs among the s+1 lowest strictly preceding τ_j
+    # (self contributes 0 — librosa's rank counts strictly-earlier below
+    # troughs); trough j is active on segments s ≥ j.
+    prec = (tK[..., :, None] > tK[..., None, :]).astype(cm.dtype)
+    upper = jnp.asarray(np.triu(np.ones((K, K))), dtype=cm.dtype)
+    pos = jnp.matmul(prec, upper)  # [.., j, s]
+    n_s = jnp.asarray(np.arange(1, K + 1), dtype=cm.dtype)
+    prior = _boltzmann_pmf(pos, float(boltzmann_parameter), n_s)
+    active = jnp.asarray(np.triu(np.ones((K, K), dtype=bool)))  # s ≥ j
+    probs_sorted = jnp.sum(
+        jnp.where(active, prior, 0.0) * W[..., None, :], axis=-1
+    )
+
+    # scatter back to lag order with a second stable sort on the carried
+    # lag index (unique per row — an exact gather-free unsort)
+    full = jnp.concatenate(
+        [probs_sorted, jnp.zeros(big_val.shape[:-1] + (L - K,), cm.dtype)],
+        axis=-1,
+    )
+    _, probs = jax.lax.sort((taus, full), dimension=-1, num_keys=1)
 
     # thresholds with no trough below them → no_trough_prob mass at the
     # LOWEST TROUGH (librosa: argmin of trough heights — which may differ
-    # from the raw band argmin when the band minimum is not a local min),
-    # and only when the frame has at least one trough (librosa `continue`s
+    # from the raw band argmin when the band minimum is not a local min;
+    # the stable height sort puts exactly that trough first), and only
+    # when the frame has at least one trough (librosa `continue`s
     # troughless frames, leaving them all-unvoiced).
-    any_below = (n_below[..., 0] > 0)  # [n_thr, NF]
-    miss_mass = jnp.sum(jnp.where(any_below, 0.0, beta_probs[:, None]), axis=0)  # [NF]
-    has_trough = jnp.any(is_trough, axis=-1)
-    gmin = jnp.argmin(big_val, axis=-1)  # first lowest trough (inf elsewhere)
+    miss_mass = jnp.sum(
+        jnp.where(hK[..., :1] >= thresholds, beta_probs, 0.0), axis=-1
+    )
+    has_trough = jnp.isfinite(hK[..., 0])
+    gmin = tK[..., 0]  # first lowest trough
     probs = probs + (
         no_trough_prob
-        * miss_mass[:, None]
-        * jnp.where(has_trough, 1.0, 0.0)[:, None]
+        * miss_mass[..., None]
+        * jnp.where(has_trough, 1.0, 0.0)[..., None]
         * jax.nn.one_hot(gmin, probs.shape[-1], dtype=cm.dtype)
     )
 
@@ -450,18 +500,26 @@ def pyin_f0(
     # decoded path still matches librosa's argmax over the dense matrix;
     # only exact cross-block score ties (measure-zero) could tie-break
     # differently.
-    log_tri = jnp.asarray(np.log(tri + tiny), dtype=cm.dtype)
+    ltri_np = np.log(tri + tiny)
+    log_tri = jnp.asarray(ltri_np, dtype=cm.dtype)
     c_stay = jnp.asarray(np.log(1.0 - switch_prob), dtype=cm.dtype)
     c_sw = jnp.asarray(np.log(switch_prob), dtype=cm.dtype)
     log_obs = jnp.log(obs + tiny)
 
-    # Forward pass emits NO backpointers — only the per-step max (an [n,n]
-    # reduce) plus the incoming delta as scan output. The argmax that
-    # classic Viterbi stores per (step, state) is a second full [n,n]
-    # reduction (measured 8.6 ms of the 28.5 ms forward on v5e); the
-    # backtrace below recomputes it from the saved deltas only along the
-    # single decoded path — an O(n)-per-step rescan with bit-identical
-    # argmax inputs, so the decoded path is unchanged.
+    # The dense [n,n] max-plus relax is VPU-roofline-bound but BEATS every
+    # banded formulation tried on v5e (r2: per-column gathers; r3: the
+    # bit-exact static-lane-shift band + global log(tiny)-floor max, which
+    # measured 53 vs 17 ms per 8×30 s standalone — D≈50 shifted reads per
+    # step are cross-lane rotates, far costlier than one regular fused
+    # broadcast-add-max over [n,n]). Keep it dense.
+
+    # Forward pass emits NO backpointers — only the per-step max plus the
+    # incoming delta as scan output. The argmax that classic Viterbi
+    # stores per (step, state) is a second full reduction (measured
+    # 8.6 ms of the 28.5 ms dense forward on v5e); the backtrace below
+    # recomputes it from the saved deltas only along the single decoded
+    # path — an O(n)-per-step rescan with bit-identical argmax inputs, so
+    # the decoded path is unchanged.
     def vstep(delta, lo):
         d_v, d_u = delta[:n_bins], delta[n_bins:]
         # per-source best block, voiced preferred on ties (its state index
@@ -469,7 +527,10 @@ def pyin_f0(
         m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
         m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
         new = jnp.concatenate(
-            [jnp.max(m_v[:, None] + log_tri, axis=0), jnp.max(m_u[:, None] + log_tri, axis=0)]
+            [
+                jnp.max(m_v[:, None] + log_tri, axis=0),
+                jnp.max(m_u[:, None] + log_tri, axis=0),
+            ]
         )
         return new + lo, delta
 

@@ -403,12 +403,17 @@ def boersma_pitch_np(
     voiced_unvoiced_cost: float = 0.14,
     periods_per_window: float = 3.0,
     very_accurate: bool = False,
+    method: str = "ac",
 ) -> np.ndarray:
-    """Boersma-1993 'ac' pitch track [NF] in Hz (0 where unvoiced), f64.
+    """Boersma-1993 pitch track [NF] in Hz (0 where unvoiced), f64.
 
-    Praat semantics implemented independently: AC_HANNING window
+    Praat semantics implemented independently: 'ac' = AC_HANNING window
     0.5−0.5·cos(2πi/(n+1)) (AC_GAUSS when very_accurate, with the window
-    doubled to 6 periods), window-autocorrelation normalization, candidate
+    doubled to 6 periods), window-autocorrelation normalization; 'cc' =
+    forward normalized cross-correlation of a ONE-period rectangular
+    window against its lag-shifted copy (To Pitch (cc), energies per lag),
+    with the sinc support carrying GENUINE cross-correlation values from
+    the signal rather than an edge extrapolation. Both share candidate
     reflection around 1, elite selection by R − octaveCost·log2(minPitch·τ),
     path-finder strengths R − octaveCost·log2(ceiling/f) with the unvoiced
     strength voicingThresh + max(0, 2 − intensity·(1+vt)/st), transition
@@ -417,53 +422,84 @@ def boersma_pitch_np(
     """
     x = np.asarray(x, np.float64)
     n = len(x)
-    if very_accurate:
+    if method == "cc":
+        periods_per_window = 1.0
+    elif very_accurate:
         periods_per_window *= 2.0
     depth = 700 if very_accurate else 70  # Praat sinc700 / sinc70
     nw = min(int(round(periods_per_window / min_pitch * sr)), n)
     hop_s = int(round(hop * sr))
     lag_min = max(2, int(np.floor(sr / max_pitch)))
-    lag_max = min(n - 1, int(np.ceil(sr / min_pitch)), nw - 1)
-    span = nw
+    lag_max = min(n - 1, int(np.ceil(sr / min_pitch)))
+    if method == "ac":
+        lag_max = min(lag_max, nw - 1)
+    span = nw + lag_max if method == "cc" else nw
     nf = max(1, 1 + (n - span) // hop_s)
     start0 = max(0, (n - span - (nf - 1) * hop_s) // 2)
 
     xg = x - np.mean(x)
     global_peak = np.max(np.abs(xg)) + 1e-30
 
-    i = np.arange(1, nw + 1, dtype=np.float64)
-    imid = 0.5 * (nw + 1)
-    if very_accurate:
-        edge = np.exp(-12.0)
-        w = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
-    else:
-        w = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (nw + 1))
-    lag_hi = lag_max + depth + 2
-    # window autocorrelation (direct sums, zero-extended)
-    wac = np.array(
-        [np.dot(w[: nw - t], w[t:nw]) for t in range(min(lag_hi + 1, nw))]
-    )
-    wac = np.concatenate([wac, np.zeros(lag_hi + 1 - len(wac))])
-    rw = wac / wac[0]
+    if method == "ac":
+        i = np.arange(1, nw + 1, dtype=np.float64)
+        imid = 0.5 * (nw + 1)
+        if very_accurate:
+            edge = np.exp(-12.0)
+            w = (np.exp(-48.0 * ((i - imid) / (nw + 1)) ** 2) - edge) / (1.0 - edge)
+        else:
+            w = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (nw + 1))
+        lag_hi = lag_max + depth + 2
+        # window autocorrelation (direct sums, zero-extended)
+        wac = np.array(
+            [np.dot(w[: nw - t], w[t:nw]) for t in range(min(lag_hi + 1, nw))]
+        )
+        wac = np.concatenate([wac, np.zeros(lag_hi + 1 - len(wac))])
+        rw = wac / wac[0]
 
     nsamp_period = max(1, int(np.floor(sr / min_pitch)))
+    ext = depth + 2
     cands_per_frame = []  # list of (freqs[], strengths[]) per frame
     for f in range(nf):
         s0 = start0 + f * hop_s
-        fr = xg[s0 : s0 + nw].copy()
-        mid = nw // 2
-        mlo, mhi = max(0, mid - nsamp_period), min(nw, mid + nsamp_period)
-        fr -= np.mean(fr[mlo:mhi])
-        local_peak = np.max(np.abs(fr)) + 1e-30
-        fw = fr * w
-        ac = np.array(
-            [np.dot(fw[: nw - t], fw[t:nw]) for t in range(min(lag_hi + 1, nw))]
-        )
-        ac = np.concatenate([ac, np.zeros(lag_hi + 1 - len(ac))])
-        r = ac / (ac[0] + 1e-30) / np.maximum(rw, 1e-6)
-        # mirror r at lag 0 for the left sinc support (r is symmetric)
-        ext = depth + 2
-        r_ext = np.concatenate([r[1 : ext + 1][::-1], r])
+        fr = xg[s0 : s0 + span].copy()
+        mid = span // 2
+        mlo, mhi = max(0, mid - nsamp_period), min(span, mid + nsamp_period)
+        lmean = np.mean(fr[mlo:mhi])
+        fr -= lmean
+        local_peak = np.max(np.abs(fr[:nw])) + 1e-30
+        if method == "ac":
+            fw = fr * w
+            ac = np.array(
+                [np.dot(fw[: nw - t], fw[t:nw]) for t in range(min(lag_hi + 1, nw))]
+            )
+            ac = np.concatenate([ac, np.zeros(lag_hi + 1 - len(ac))])
+            r = ac / (ac[0] + 1e-30) / np.maximum(rw, 1e-6)
+            # mirror r at lag 0 for the left sinc support (r is symmetric)
+            r_ext = np.concatenate([r[1 : ext + 1][::-1], r])
+        else:
+            # forward normalized cross-correlation; the sinc support beyond
+            # [0, lag_max] reads the TRUE r(τ) of the signal (shifted
+            # windows taken directly from xg minus the same local mean,
+            # zero where they leave the signal)
+            base = fr[:nw]
+            e0 = np.dot(base, base)
+
+            def _shifted(tau, _s0=s0, _lm=lmean):
+                a = _s0 + tau
+                seg = np.zeros(nw)
+                lo, hi = max(0, a), min(n, a + nw)
+                if hi > lo:
+                    seg[lo - a : hi - a] = xg[lo:hi] - _lm
+                return seg
+
+            taus = np.arange(-ext, lag_max + ext + 1)
+            r_ext = np.empty(len(taus))
+            for ti, tau in enumerate(taus):
+                seg = _shifted(int(tau))
+                r_ext[ti] = np.dot(base, seg) / np.sqrt(
+                    max(e0 * np.dot(seg, seg), 1e-30)
+                )
+            r = r_ext[ext:]
         # local maxima in the search band
         cands = []
         for lagi in range(lag_min, lag_max + 1):

@@ -236,3 +236,26 @@ def test_pitch_ac_matches_boersma_oracle(speechlike):
     np.testing.assert_array_equal(got > 0, want > 0)
     v = want > 0
     np.testing.assert_allclose(got[v], want[v], atol=0.2)
+
+
+def test_pitch_cc_matches_boersma_oracle(speechlike):
+    """Derivation-independent check of the 'cc' estimator vs the float64
+    Boersma oracle (method='cc': one-period rectangular window, forward
+    normalized cross-correlation with genuine r(τ) through the sinc
+    support — the device edge-replicates past lag_max, a sub-0.01 Hz
+    effect at these lags)."""
+    from modulation_mfcc_tpu.oracle import boersma_pitch_np
+
+    y, sr = speechlike
+    want = boersma_pitch_np(y, sr, method="cc")
+    got = np.asarray(
+        pitch_ac(jnp.asarray(y), sr=float(sr), method="cc", ac_engine="fft")
+    )
+    assert got.shape == want.shape
+    agree = (got > 0) == (want > 0)
+    # allow at most one marginal frame to flip voicing (strengths near the
+    # Viterbi decision boundary move at the r-tail deviation scale)
+    assert np.count_nonzero(~agree) <= 1, np.nonzero(~agree)
+    v = (want > 0) & (got > 0)
+    assert v.sum() > 20
+    np.testing.assert_allclose(got[v], want[v], atol=0.2)

@@ -164,3 +164,37 @@ def test_pyin_oracle_parity_collision_heavy():
         jvoiced = jf0 > 0
         np.testing.assert_array_equal(jvoiced, ovoiced)
         np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
+
+
+def test_transition_width_guard():
+    """width < 1 gives an empty triangular window (librosa raises
+    ParameterError); both the device helper and the oracle must refuse
+    rather than emit 0/0-NaN rows."""
+    import pytest
+
+    from modulation_mfcc_tpu.oracle import transition_local_np
+    from modulation_mfcc_tpu.ops.yin import _transition_local
+
+    for fn in (_transition_local, transition_local_np):
+        with pytest.raises(ValueError, match="width"):
+            fn(10, 0.5)
+    # width exactly 1: a self-loop-only chain, rows sum to 1
+    t = _transition_local(10, 1.0)
+    np.testing.assert_allclose(t, np.eye(10))
+
+
+def test_pyin_oracle_parity_uncentered_and_reflect():
+    """center=False and pad_mode='reflect' flow through to librosa's
+    framing (the reference passes pyincenter/pyinpad_mode verbatim,
+    script/calc.py:418-419) — decoded states must still match the float64
+    oracle bit-for-bit."""
+    from modulation_mfcc_tpu.oracle import pyin_np
+
+    sig, sr = _speechlike_sig()
+    for kw in ({"center": False}, {"center": True, "pad_mode": "reflect"}):
+        of0, ovoiced, _ = pyin_np(sig, sr, hop_length=100, **kw)
+        jf0 = np.asarray(pyin_f0(jnp.asarray(sig), sr=float(sr), **kw))
+        assert jf0.shape == of0.shape
+        jvoiced = jf0 > 0
+        np.testing.assert_array_equal(jvoiced, ovoiced)
+        np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
