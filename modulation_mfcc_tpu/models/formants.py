@@ -4,7 +4,8 @@ Mirrors script/calc.py:131-170: Burg LPC formants (Praat conventions:
 resample to 2× ceiling, 50 Hz pre-emphasis, Gaussian window of twice the
 nominal length, order = 2×max_number_of_formants), sample F1–F3 at frame
 times, gate frames whose intensity is below ``energy_threshold`` dB
-(sound.to_intensity() with Praat defaults: minPitch=100, timeStep=0.8/minPitch/4).
+(sound.to_intensity() with Praat defaults: minPitch=100, timeStep auto =
+0.8/minPitch).
 """
 from __future__ import annotations
 
@@ -51,9 +52,10 @@ def formants_with_gating(x, sr: float, cfg: FormantConfig = FormantConfig()):
     _, _, times = formant_frames(
         len(xr), target_sr, cfg.window_length, cfg.time_step
     )
-    # intensity gating at formant frame times (Praat to_intensity defaults)
+    # intensity gating at formant frame times (Praat to_intensity defaults:
+    # minPitch 100, timeStep auto = 0.8/minPitch — calc.py:156)
     min_pitch = 100.0
-    tstep = 0.8 / min_pitch / 4.0
+    tstep = 0.0
     db = np.asarray(
         intensity_db(
             jnp.asarray(x, dtype=jnp.float32), sr=float(sr), min_pitch=min_pitch, time_step=tstep

@@ -3,11 +3,25 @@
 Replaces the reference's ``call(sound, "To Intensity", minPitch, timeStep, 1)``
 (script/mfcc.py:229-233, script/calc.py:156 via sound.to_intensity()):
 windowed mean square of the mean-subtracted signal, expressed in dB re
-2·10⁻⁵ Pa (auditory threshold). Praat's conventions: the physical window
-spans 6.4 periods of the minimum pitch (twice the documented 3.2-period
-*effective* duration), tapered by the "Kaiser-20" window (β = 2π·3.2221888,
-sidelobes < -190 dB so F0 ripple stays below the dB floor), applied to the
-squared samples and normalized by the window sum.
+2·10⁻⁵ Pa (auditory threshold). Praat semantics, matched frame-exactly to
+the float64 oracle (oracle.praat_intensity_np — an independent rederivation
+of Sound_to_Intensity):
+
+- physical window 6.4/minPitch (2× the documented 3.2-period *effective*
+  duration); default time step 0.8/minPitch ("four times oversampling");
+- frame grid from Sampled_shortTermAnalysis (Sound x1 = dx/2): nf =
+  floor((dur − winDur)/ts) + 1, first mid-time = dur/2 − (nf−1)·ts/2,
+  mid SAMPLE = nearest index — when ts·sr is an integer (every reference
+  config) the device grid is identical; otherwise the device quantizes the
+  hop to round(ts·sr) (sub-sample drift, documented deviation);
+- taper w(i) = I₀((2π² + 0.5)·√(1 − (i/(halfDur·sr))²)) over the 2·hws+1
+  samples around the mid sample, hws = floor(halfDur·sr) (sidelobes
+  < −190 dB so F0 ripple stays below the dB floor);
+- per-frame PLAIN mean over in-range samples subtracted before squaring,
+  windowed mean square normalized by the in-range window sum (the masked
+  path only compiles in when a frame actually touches a boundary — a
+  static host-side check);
+- dB = 10·log10(ms / 4e-10), −300 where ms < 1e-30.
 
 TPU formulation: one framed weighted-square reduction — frames [NF, nw] ×
 window → matvec — entirely fused by XLA.
@@ -29,31 +43,98 @@ _HEARING_THRESHOLD_SQ = 4.0e-10  # (2e-5 Pa)^2
 
 
 def _geometry(n: int, sr: float, min_pitch: float, time_step: float):
-    win_dur = 6.4 / min_pitch  # physical = 2 × the 3.2-period effective span
-    nw = int(round(win_dur * sr))
-    nw = min(max(nw, 2), n)
-    hop = max(1, int(round(time_step * sr)))
-    nf = max(1, 1 + (n - nw) // hop)
-    start0 = max(0, (n - nw - (nf - 1) * hop) // 2)  # Praat-centered grid
-    return nw, hop, nf, start0
+    """(hws, hop, nf, mid0, ts, first_time): Praat short-term-analysis grid.
+
+    mid0 + k·hop is the 0-based nearest sample of frame k's mid-time
+    (exact whenever ts·sr is an integer).
+    """
+    ts = 0.8 / min_pitch if time_step <= 0.0 else time_step
+    duration = n / sr
+    hws = int(np.floor(3.2 / min_pitch * sr))
+    if 2 * hws + 1 > n:  # Praat errors; degrade to a signal-sized window
+        hws = max((n - 1) // 2, 1)
+    nf = max(1, int(np.floor((duration - 6.4 / min_pitch) / ts)) + 1)
+    first_time = 0.5 * duration - 0.5 * nf * ts + 0.5 * ts
+    hop = max(1, int(round(ts * sr)))
+    # nearest sample of the first mid-time, round-half-up at exact ties
+    # (same epsilon rule as oracle.praat_intensity_np)
+    mid0 = int(np.floor(first_time * sr + 1e-6))
+    return hws, hop, nf, mid0, ts, first_time
+
+
+def _kaiser20(hws: int, half_dur_samples: float) -> np.ndarray:
+    from scipy.special import i0 as _bessel_i0
+
+    i = np.arange(-hws, hws + 1, dtype=np.float64)
+    root = 1.0 - (i / half_dur_samples) ** 2
+    return np.where(
+        root > 0.0,
+        _bessel_i0((2.0 * np.pi**2 + 0.5) * np.sqrt(np.maximum(root, 0.0))),
+        0.0,
+    )
 
 
 @partial(jax.jit, static_argnames=("sr", "min_pitch", "time_step"))
 def intensity_db(
-    x: jnp.ndarray, *, sr: float, min_pitch: float = 100.0, time_step: float = 0.01
+    x: jnp.ndarray, *, sr: float, min_pitch: float = 100.0, time_step: float = 0.0
 ) -> jnp.ndarray:
     """Intensity contour [NF] in dB for 1-D x (interpreted as Pascal)."""
     n = x.shape[-1]
-    nw, hop, nf, start0 = _geometry(n, sr, min_pitch, time_step)
-    w2 = np.kaiser(nw, 2.0 * np.pi * 3.2221888402924036)  # Praat kaiser20
-    w2 = w2 / w2.sum()
-    frames = frame_by_slices(x, start0, nf, nw, hop)
-    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    ms = frames**2 @ jnp.asarray(w2, dtype=x.dtype)
-    return 10.0 * jnp.log10(jnp.maximum(ms / _HEARING_THRESHOLD_SQ, 1e-30))
+    hws, hop, nf, _, ts, ft = _geometry(n, sr, min_pitch, time_step)
+    nw = 2 * hws + 1
+    w = _kaiser20(hws, 3.2 / min_pitch * sr)
+    # pre-normalized (the masked path normalizes by valid@w, a ratio in
+    # which the scale cancels); keeping the divisor out of the graph also
+    # keeps the output dtype = x.dtype (a numpy f64 scalar would promote
+    # under x64)
+    wj = jnp.asarray(w / np.sum(w), dtype=x.dtype)
+    # per-frame nearest mid samples, the SAME float expression as the
+    # oracle (round-half-up with the epsilon tie guard) — host-side ints,
+    # so grid irregularity costs nothing at trace time
+    dx = 1.0 / sr
+    mids = np.floor(
+        (ft + np.arange(nf) * ts - 0.5 * dx) * sr + 0.5 + 1e-6
+    ).astype(np.int64)
+    starts = mids - hws
+    uniform = bool(np.all(mids == mids[0] + np.arange(nf, dtype=np.int64) * hop))
+    clips = starts[0] < 0 or starts[-1] + nw > n  # static
+    if uniform and not clips:
+        frames = frame_by_slices(x, int(starts[0]), nf, nw, hop)
+        d = frames - jnp.mean(frames, axis=-1, keepdims=True)
+        ms = (d * d) @ wj
+    else:
+        # Two rare cases share this masked path: (a) boundary frames (≤1
+        # sample of overhang from nearest-index rounding) — Praat sums only
+        # in-range samples, so the mean count, window normalization and the
+        # squared sum all drop the out-of-range tap; zero-pad + mask
+        # reproduces that exactly. (b) non-integer ts·sr (e.g. the auto
+        # step 0.8/minPitch at an incommensurate rate): Praat's grid is
+        # then genuinely non-uniform (nearest-index per frame), which a
+        # uniform hop would drift away from linearly — frame via one
+        # [NF, nw] gather instead (intensity runs once per file; every
+        # benched/reference config has integer ts·sr and stays on the
+        # fast path).
+        xpad = jnp.pad(x, (hws, hws))
+        if uniform:
+            frames = frame_by_slices(xpad, int(starts[0]) + hws, nf, nw, hop)
+        else:
+            frames = xpad[
+                jnp.asarray(starts[:, None] + np.arange(nw)[None, :] + hws)
+            ]
+        idx = starts[:, None] + np.arange(nw, dtype=np.int64)[None, :]
+        valid = jnp.asarray((idx >= 0) & (idx < n), dtype=x.dtype)
+        cnt = jnp.sum(valid, axis=-1, keepdims=True)
+        mean = jnp.sum(frames, axis=-1, keepdims=True) / cnt  # pads are 0
+        d = (frames - mean) * valid
+        ms = (d * d) @ wj / (valid @ wj)
+    return jnp.where(
+        ms < 1e-30,
+        jnp.asarray(-300.0, x.dtype),
+        10.0 * jnp.log10(jnp.maximum(ms, 1e-300) / _HEARING_THRESHOLD_SQ),
+    )
 
 
 def intensity_times(n: int, sr: float, min_pitch: float, time_step: float) -> np.ndarray:
-    """Frame-center times of :func:`intensity_db` (host-side)."""
-    nw, hop, nf, start0 = _geometry(n, sr, min_pitch, time_step)
-    return (start0 + np.arange(nf) * hop + nw / 2.0) / sr
+    """Frame mid-times of :func:`intensity_db` (host-side, Praat nominal)."""
+    _, _, nf, _, ts, first_time = _geometry(n, sr, min_pitch, time_step)
+    return first_time + np.arange(nf) * ts

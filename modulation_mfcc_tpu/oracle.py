@@ -585,6 +585,77 @@ def burg_np(frame: np.ndarray, order: int) -> np.ndarray:
     return a
 
 
+def praat_intensity_np(
+    x: np.ndarray,
+    sr: float,
+    *,
+    min_pitch: float = 100.0,
+    time_step: float = 0.0,
+    subtract_mean: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Praat ``Sound: To Intensity...`` oracle, float64. Returns (times, dB).
+
+    Independent re-derivation of the published algorithm (Sound_to_Intensity
+    in the Praat sources; the reference calls it via parselmouth at
+    script/calc.py:156 ``sound.to_intensity()`` and script/mfcc.py:229
+    ``call(xObj, "To Intensity", minPitch, hopLen, 1)``):
+
+    - physical window 6.4/minPitch (twice the documented 3.2-period
+      *effective* duration); default time step 0.8/minPitch ("four times
+      oversampling Hanning-wise");
+    - frame grid from Sampled_shortTermAnalysis on a Sound with x1 = dx/2:
+      nf = floor((duration − windowDur)/timeStep) + 1, first mid-time =
+      duration/2 − (nf − 1)·timeStep/2, frame mid SAMPLE = nearest index;
+    - Kaiser taper w(i) = I₀((2π² + 0.5)·√(1 − (i·dx/halfDur)²)) on the
+      2·hws+1 samples around the mid sample (hws = floor(halfDur·sr)) —
+      Praat evaluates it with the float NUMbessel_i0_f approximation,
+      ~1e-7 relative, far below the dB scale;
+    - per-frame PLAIN mean over the in-range samples subtracted before
+      squaring (subtractMeanPressure), windowed mean square normalized by
+      the in-range window sum; out-of-range samples (possible only at the
+      exact right boundary) drop out of every sum;
+    - dB = 10·log10(ms / 4e-10), −300 where ms < 1e-30.
+    """
+    from scipy.special import i0 as _bessel_i0
+
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    dx = 1.0 / sr
+    if time_step <= 0.0:
+        time_step = 0.8 / min_pitch
+    window_dur = 6.4 / min_pitch
+    half_dur = 0.5 * window_dur
+    hws = int(np.floor(half_dur * sr))
+    duration = n * dx
+    if window_dur > duration:
+        raise ValueError("signal shorter than the 6.4/minPitch analysis window")
+    nf = int(np.floor((duration - window_dur) / time_step)) + 1
+    first_time = 0.5 * duration - 0.5 * nf * time_step + 0.5 * time_step
+    i = np.arange(-hws, hws + 1, dtype=np.float64)
+    root = 1.0 - (i * dx / half_dur) ** 2
+    w = np.where(root > 0.0, _bessel_i0((2.0 * np.pi**2 + 0.5) * np.sqrt(np.maximum(root, 0.0))), 0.0)
+    times = first_time + np.arange(nf) * time_step
+    db = np.empty(nf)
+    for f in range(nf):
+        # nearest 0-based sample (Melder_iround = round-half-up). When the
+        # grid puts a mid-time EXACTLY halfway between samples (every frame
+        # does when duration·sr and timeStep·sr are integers of equal
+        # parity), the outcome of Praat's own float evaluation is
+        # ulp-arbitrary; pin the exact-arithmetic answer (round up) with an
+        # epsilon far above f64 noise (~1e-11 here) and far below any
+        # legitimate fractional part.
+        mid = int(np.floor((times[f] - 0.5 * dx) * sr + 0.5 + 1e-6))
+        lo, hi = mid - hws, mid + hws + 1
+        clo, chi = max(lo, 0), min(hi, n)
+        seg = x[clo:chi]
+        wseg = w[clo - lo : chi - lo]
+        mean = np.mean(seg) if subtract_mean else 0.0
+        d = seg - mean
+        ms = np.dot(d * d, wseg) / np.sum(wseg)
+        db[f] = -300.0 if ms < 1e-30 else 10.0 * np.log10(ms / 4.0e-10)
+    return times, db
+
+
 def praat_formants_np(
     x: np.ndarray,
     sr: float,

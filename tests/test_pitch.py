@@ -197,6 +197,34 @@ def test_intensity_db_scale():
     assert abs(np.median(db) - np.median(db2) - 20.0) < 0.1
 
 
+def test_intensity_matches_praat_oracle(speechlike):
+    """Derivation-independent check vs the float64 Sound_to_Intensity
+    re-derivation (oracle.praat_intensity_np): Sampled_shortTermAnalysis
+    frame grid, I0 Kaiser-20 taper on 2·hws+1 samples, plain-mean
+    subtraction, in-range-only sums at the boundary, −300 floor. The
+    default (auto) time step lands the last frame one sample past the end
+    on this fixture — exercising the masked edge path — while ts=0.01
+    stays interior (the unmasked path)."""
+    from modulation_mfcc_tpu.oracle import praat_intensity_np
+    from modulation_mfcc_tpu.ops.intensity import intensity_times
+
+    y, sr = speechlike
+    xj = jnp.asarray(y, dtype=jnp.float32)
+    for kw in (
+        {"min_pitch": 100.0, "time_step": 0.0},
+        {"min_pitch": 100.0, "time_step": 0.01},
+        {"min_pitch": 75.0, "time_step": 0.0},
+    ):
+        t_want, want = praat_intensity_np(y, sr, **kw)
+        got = np.asarray(intensity_db(xj, sr=float(sr), **kw))
+        t_got = intensity_times(len(y), sr, kw["min_pitch"], kw["time_step"])
+        assert got.shape == want.shape, kw
+        np.testing.assert_allclose(t_got, t_want, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got, want, atol=0.01, err_msg=str(kw))
+        # silent lead-in must hit the exact Praat floor on both sides
+        assert want[0] == -300.0 and got[0] == -300.0
+
+
 def test_pitch_ac_engines_agree(speechlike):
     # the MXU real-DFT autocorrelation computes the same zero-padded
     # autocorrelation as the FFT path; tracks must agree to far below the
