@@ -188,7 +188,37 @@ def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _await_backend(max_tries: int = 5, wait_s: float = 120.0) -> None:
+    """Don't let a transient tunnel outage cost the round its artifact.
+
+    The remote TPU backend occasionally fails to initialize (UNAVAILABLE)
+    or hangs; jax caches a failed init for the process lifetime, so probe
+    it in a SUBPROCESS and re-check with backoff before touching jax here.
+    Bounded: after max_tries the real error propagates from the first
+    measurement instead.
+    """
+    import os
+    import subprocess
+
+    for attempt in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8, 128)))))"],
+                timeout=600, capture_output=True, env=os.environ,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe {attempt + 1}/{max_tries} failed; retrying "
+              f"in {wait_s:.0f}s", file=sys.stderr)
+        time.sleep(wait_s)
+
+
 def main() -> None:
+    _await_backend()
     batch, seconds, n_super = 128, 30.0, 8
     bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
     f32 = _throughput("pallas", batch, seconds, n_super)

@@ -266,6 +266,26 @@ def test_pitch_ac_matches_boersma_oracle(speechlike):
     np.testing.assert_allclose(got[v], want[v], atol=0.2)
 
 
+def test_pitch_very_accurate_matches_boersma_oracle(speechlike):
+    """veryAccurate mode (AC_GAUSS window over 6 periods, sinc700
+    refinement — Praat To Pitch veryAccurate, script/calc.py:545-546) vs
+    the same float64 oracle with very_accurate=True. The deeper sinc
+    support makes the anchoring deviation smaller, not larger."""
+    from modulation_mfcc_tpu.oracle import boersma_pitch_np
+
+    y, sr = speechlike
+    y = y[: sr]  # keep the 700-deep host-side Brent refinement affordable
+    want = boersma_pitch_np(y, sr, very_accurate=True)
+    got = np.asarray(
+        pitch_ac(jnp.asarray(y), sr=float(sr), very_accurate=True, ac_engine="fft")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got > 0, want > 0)
+    v = want > 0
+    assert v.sum() > 10
+    np.testing.assert_allclose(got[v], want[v], atol=0.2)
+
+
 def test_pitch_cc_matches_boersma_oracle(speechlike):
     """Derivation-independent check of the 'cc' estimator vs the float64
     Boersma oracle (method='cc': one-period rectangular window, forward
