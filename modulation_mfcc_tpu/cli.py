@@ -31,6 +31,8 @@ def main(argv: list[str] | None = None) -> int:
 
     ver = sub.add_parser("verify", help="parity harness vs the CPU oracle")
     ver.add_argument("--wav", help="optional WAV to verify on (default: synthetic)")
+    ver.add_argument("--seconds", type=float, default=2.0,
+                     help="synthetic signal length (ignored with --wav)")
 
     sub.add_parser("info", help="print device/mesh info")
 

@@ -77,6 +77,26 @@ def test_modulation_spectrum_axes(speechlike):
     assert freqs[-1] == 100.0  # Nyquist of the 200 Hz trajectory rate
 
 
+def test_cli_verify_harness():
+    """The full tracker parity harness (mod_cepstr + intensity + pitch ac +
+    pyin vs their float64 oracles) must pass end-to-end on the CPU backend —
+    this is the exact command run on the real TPU (`modmfcc verify`)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "modulation_mfcc_tpu.cli", "verify",
+         "--seconds", "1.2"],
+        capture_output=True, text=True, timeout=540,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": ".", "HOME": "/root"},
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stdout[-800:] + out.stderr[-500:]
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines[-1] == {"overall_pass": True}
+    assert {l["surface"] for l in lines[:-1]} == {
+        "mod_cepstr", "intensity", "pitch_ac", "pyin"
+    }
+
+
 def test_cli_info_smoke():
     out = subprocess.run(
         [sys.executable, "-m", "modulation_mfcc_tpu.cli", "info"],
