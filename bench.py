@@ -137,6 +137,69 @@ def _pyin_throughput(batch: int, seconds: float, n_super: int) -> float:
     return batch * seconds / 3600.0 / best
 
 
+def _masked_batch_throughput(n_super: int = 8) -> float:
+    """BASELINE config #2: 64 VARIABLE-length utterances, padded+masked
+    modulation-cepstrum (exact per-file edges via ops/masked.py) —
+    REAL audio-h/s/chip at 16 kHz (padding excluded from the numerator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.models.config import MfccConfig
+    from modulation_mfcc_tpu.parallel.batch import AudioBatch, batched_mfcc_change
+
+    sr = 16_000
+    cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+    rng = np.random.default_rng(3)
+    lengths = rng.integers(int(8 * sr), int(30 * sr), size=64)
+    t_pad = int(30 * sr)
+    lj = jnp.asarray(lengths.astype(np.int32))
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    gen = jax.jit(lambda k: jax.random.normal(k, (n_super, 64, t_pad), jnp.float32))
+    xs = [gen(k) for k in keys]
+
+    @jax.jit
+    def many(stack):
+        def one_batch(xb):
+            tot, mask = batched_mfcc_change(AudioBatch(xb, lj), cfg, spectrum="pallas_bf16")
+            return jnp.sum(jnp.where(mask > 0, tot, 0.0))
+
+        return jax.lax.map(one_batch, stack)
+
+    for x in xs:
+        float(jnp.sum(x))
+    float(jnp.sum(many(xs[0])))
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(many(xs[(trial + 1) % 2])))
+        best = min(best, (time.perf_counter() - t0) / n_super)
+    return float(lengths.sum()) / sr / 3600.0 / best
+
+
+def _longform_1h_seconds() -> float:
+    """BASELINE config #4: one 1-hour 48 kHz recording through the chunked
+    streaming path (f32) — wall seconds for the warm program (distinct
+    input from the warm-up run; the single readback is the barrier)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.models.config import MfccConfig
+    from modulation_mfcc_tpu.parallel.streaming import chunked_mfcc_change
+
+    sr = 48_000
+    cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+    n = 3600 * sr
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    gen = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))
+    run = jax.jit(lambda y: jnp.sum(chunked_mfcc_change(y, cfg)))
+    x0, x1 = gen(keys[0]), gen(keys[1])
+    float(jnp.sum(x0)), float(jnp.sum(x1))
+    float(run(x0))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(x1))
+    return time.perf_counter() - t0
+
+
 def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
     """END-TO-END corpus sweep: WAV files on disk → native decode → host
     bucketing/prefetch → bf16 device extraction → per-file .npz records.
@@ -224,9 +287,19 @@ def main() -> None:
     f32 = _throughput("pallas", batch, seconds, n_super)
     i24 = _throughput("pallas_i24", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
-    trackers = _tracker_throughput(16, seconds, 8)
-    pyin = _pyin_throughput(8, seconds, 8)
-    corpus = _corpus_throughput()
+    # secondary fields: a failure in any one must not sink the artifact
+    def _try(fn, *a, **k):
+        try:
+            return round(fn(*a, **k), 3)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            print(f"# {fn.__name__} failed: {e!r}", file=sys.stderr)
+            return None
+
+    trackers = _try(_tracker_throughput, 16, seconds, 8)
+    pyin = _try(_pyin_throughput, 8, seconds, 8)
+    masked = _try(_masked_batch_throughput)
+    longform = _try(_longform_1h_seconds)
+    corpus = _try(_corpus_throughput)
     per_chip_target = 500.0 / 8.0
     print(
         json.dumps(
@@ -238,9 +311,11 @@ def main() -> None:
                 "f32_parity_mode": round(f32, 3),
                 "i24_parity_mode": round(i24, 3),
                 "f32_x3_mode": round(x3, 3),
-                "tracker_sweep": round(trackers, 3),
-                "pyin_sweep": round(pyin, 3),
-                "corpus_sweep": round(corpus, 3),
+                "tracker_sweep": trackers,
+                "pyin_sweep": pyin,
+                "masked_batch_64": masked,
+                "longform_1h_s": longform,
+                "corpus_sweep": corpus,
             }
         )
     )
