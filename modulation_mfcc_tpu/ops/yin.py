@@ -159,18 +159,21 @@ def _sliding_cmndf(
 
     dtype = xp.dtype
     fc = jnp.fft.rfft(ctx, n=nfft, axis=-1)
-    fsq = jnp.fft.rfft(ctx * ctx, n=nfft, axis=-1)
     fr = jnp.fft.rfft(rows, n=nfft, axis=-1)
     # circular correlation == linear here: r + λ ≤ hop-1 + max_lag+1 < nfft
     p_full = jnp.fft.irfft(jnp.conj(fr) * fc, n=nfft, axis=-1)
-    # energy row term: correlation against a ones(hop) window — constant
-    # spectra built ON DEVICE (complex never crosses the host boundary)
-    ones_hop = jnp.ones((hop,), dtype=dtype)
-    q_full = jnp.fft.irfft(
-        jnp.conj(jnp.fft.rfft(ones_hop, n=nfft)) * fsq, n=nfft, axis=-1
-    )
+    # energy row term = correlation against a ONES window = a difference of
+    # prefix sums of C² — one cumsum replaces three transforms (rfft of C²
+    # plus the full- and partial-window irffts); λ+hop ≤ m_ctx by
+    # construction so every read stays inside the context
+    s_inc = jnp.cumsum(ctx * ctx, axis=-1)
 
     L = max_lag + 1
+    # λ-aligned energy rows: index i carries λ = i+1 (window_sum lag_lo=0)
+    q_lam = (
+        jax.lax.slice_in_dim(s_inc, hop, hop + L, axis=-1)
+        - jax.lax.slice_in_dim(s_inc, 0, L, axis=-1)
+    )
 
     def window_sum(series_full, series_part, q, rem, lag_lo):
         """Σ_{b<q} series_full[f+b, lag] (+ series_part[f+q, lag])."""
@@ -191,13 +194,13 @@ def _sliding_cmndf(
         pp = jnp.fft.irfft(jnp.conj(fr1) * fc, n=nfft, axis=-1)
     cross = window_sum(p_full, pp, q1, rem1, 0)
 
-    q_part = None
+    qp_lam = None
     if rem2:
-        ones_rem = jnp.ones((rem2,), dtype=dtype)
-        q_part = jnp.fft.irfft(
-            jnp.conj(jnp.fft.rfft(ones_rem, n=nfft)) * fsq, n=nfft, axis=-1
+        qp_lam = (
+            jax.lax.slice_in_dim(s_inc, rem2, rem2 + L, axis=-1)
+            - jax.lax.slice_in_dim(s_inc, 0, L, axis=-1)
         )
-    e_tau = window_sum(q_full, q_part, q2, rem2, 1)  # λ = τ + 1
+    e_tau = window_sum(q_lam, qp_lam, q2, rem2, 0)  # index i ↔ λ = τ+1
     return _cmndf_from_terms(cross, e_tau, dtype)
 
 

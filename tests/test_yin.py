@@ -166,6 +166,26 @@ def test_pyin_oracle_parity_collision_heavy():
         np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
 
 
+def test_pyin_oracle_parity_praat_band():
+    """Decoded states vs the float64 oracle at the F0Config default band
+    (fmin 75, fmax 600 — the golden config). Two envelope-null frames sit
+    close enough to the voicing decision boundary that the energy term's
+    reduction order decides them: the FFT-roundtrip energy path used to
+    flip both; the prefix-sum energy term (more accurate) matches the
+    oracle exactly."""
+    from modulation_mfcc_tpu.oracle import pyin_np
+
+    sig, sr = _speechlike_sig()
+    of0, ovoiced, _ = pyin_np(sig, sr, fmin=75.0, fmax=600.0, hop_length=100)
+    jf0 = np.asarray(
+        pyin_f0(jnp.asarray(sig), sr=float(sr), fmin=75.0, fmax=600.0)
+    )
+    assert jf0.shape == of0.shape
+    jvoiced = jf0 > 0
+    np.testing.assert_array_equal(jvoiced, ovoiced)
+    np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-5)
+
+
 def test_transition_width_guard():
     """width < 1 gives an empty triangular window (librosa raises
     ParameterError); both the device helper and the oracle must refuse
