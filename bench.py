@@ -33,6 +33,26 @@ import time
 import numpy as np
 
 
+def _time_many(many, xs, n_super: int) -> float:
+    """Best seconds per lax.map iteration — the hard-won timing rules in
+    one place: materialize inputs first; compile+warm on xs[0]; each timed
+    trial uses a stack DIFFERENT from the immediately preceding execution
+    (identical (executable, input) pairs can be deduped by the runtime);
+    the host readback float(jnp.sum(...)) is the barrier
+    (block_until_ready is unreliable over the tunnel)."""
+    import jax.numpy as jnp
+
+    for x in xs:
+        float(jnp.sum(x))
+    float(jnp.sum(many(xs[0])))  # compile + warm
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(many(xs[(trial + 1) % len(xs)])))
+        best = min(best, (time.perf_counter() - t0) / n_super)
+    return best
+
+
 def _throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> float:
     import jax
     import jax.numpy as jnp  # noqa: F401
@@ -53,15 +73,7 @@ def _throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> floa
     def many(stack):
         return jax.lax.map(lambda x: jnp.sum(mfcc_change(x, cfg, spectrum=spectrum)), stack)
 
-    # materialize inputs, then warm the compile
-    for x in xs:
-        float(jnp.sum(x))
-    float(jnp.sum(many(xs[0])))  # compile + warm
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        float(jnp.sum(many(xs[(trial + 1) % 2])))
-        best = min(best, (time.perf_counter() - t0) / n_super)
+    best = _time_many(many, xs, n_super)
     return batch * seconds / 3600.0 / best
 
 
@@ -93,14 +105,7 @@ def _tracker_throughput(batch: int, seconds: float, n_super: int) -> float:
     def many(stack):
         return jax.lax.map(lambda xb: jnp.sum(jax.vmap(one)(xb)), stack)
 
-    for x in xs:
-        float(jnp.sum(x))
-    float(jnp.sum(many(xs[0])))
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        float(jnp.sum(many(xs[(trial + 1) % 2])))
-        best = min(best, (time.perf_counter() - t0) / n_super)
+    best = _time_many(many, xs, n_super)
     return batch * seconds / 3600.0 / best
 
 
@@ -126,14 +131,7 @@ def _pyin_throughput(batch: int, seconds: float, n_super: int) -> float:
 
         return jax.lax.map(one_batch, stack)
 
-    for x in xs:
-        float(jnp.sum(x))
-    float(jnp.sum(many(xs[0])))
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        float(jnp.sum(many(xs[(trial + 1) % 2])))
-        best = min(best, (time.perf_counter() - t0) / n_super)
+    best = _time_many(many, xs, n_super)
     return batch * seconds / 3600.0 / best
 
 
@@ -165,14 +163,7 @@ def _masked_batch_throughput(n_super: int = 8) -> float:
 
         return jax.lax.map(one_batch, stack)
 
-    for x in xs:
-        float(jnp.sum(x))
-    float(jnp.sum(many(xs[0])))
-    best = float("inf")
-    for trial in range(3):
-        t0 = time.perf_counter()
-        float(jnp.sum(many(xs[(trial + 1) % 2])))
-        best = min(best, (time.perf_counter() - t0) / n_super)
+    best = _time_many(many, xs, n_super)
     return float(lengths.sum()) / sr / 3600.0 / best
 
 
@@ -275,9 +266,14 @@ def _await_backend(max_tries: int = 5, wait_s: float = 120.0) -> None:
                 return
         except subprocess.TimeoutExpired:
             pass
-        print(f"# backend probe {attempt + 1}/{max_tries} failed; retrying "
-              f"in {wait_s:.0f}s", file=sys.stderr)
-        time.sleep(wait_s)
+        if attempt < max_tries - 1:
+            print(f"# backend probe {attempt + 1}/{max_tries} failed; "
+                  f"retrying in {wait_s:.0f}s", file=sys.stderr)
+            time.sleep(wait_s)
+        else:
+            print(f"# backend probe {attempt + 1}/{max_tries} failed; "
+                  "proceeding (the real error will surface below)",
+                  file=sys.stderr)
 
 
 def main() -> None:

@@ -11,9 +11,10 @@ of Sound_to_Intensity):
   duration); default time step 0.8/minPitch ("four times oversampling");
 - frame grid from Sampled_shortTermAnalysis (Sound x1 = dx/2): nf =
   floor((dur − winDur)/ts) + 1, first mid-time = dur/2 − (nf−1)·ts/2,
-  mid SAMPLE = nearest index — when ts·sr is an integer (every reference
-  config) the device grid is identical; otherwise the device quantizes the
-  hop to round(ts·sr) (sub-sample drift, documented deviation);
+  mid SAMPLE = nearest index per frame — EXACT for every ts·sr: when
+  ts·sr is an integer (every reference config) the grid is uniform and
+  frames come from hop-strided slices; otherwise Praat's genuinely
+  non-uniform nearest-index grid is reproduced via one [NF, nw] gather;
 - taper w(i) = I₀((2π² + 0.5)·√(1 − (i/(halfDur·sr))²)) over the 2·hws+1
   samples around the mid sample, hws = floor(halfDur·sr) (sidelobes
   < −190 dB so F0 ripple stays below the dB floor);
@@ -43,23 +44,28 @@ _HEARING_THRESHOLD_SQ = 4.0e-10  # (2e-5 Pa)^2
 
 
 def _geometry(n: int, sr: float, min_pitch: float, time_step: float):
-    """(hws, hop, nf, mid0, ts, first_time): Praat short-term-analysis grid.
+    """(hws, hop, nf, ts, first_time): Praat short-term-analysis grid.
 
-    mid0 + k·hop is the 0-based nearest sample of frame k's mid-time
-    (exact whenever ts·sr is an integer).
+    Every float expression here matches oracle.praat_intensity_np term for
+    term (duration = n·dx with dx = 1/sr, not n/sr) so floors/ties resolve
+    identically on both sides.
     """
     ts = 0.8 / min_pitch if time_step <= 0.0 else time_step
-    duration = n / sr
+    dx = 1.0 / sr
+    duration = n * dx
+    window_dur = 6.4 / min_pitch
     hws = int(np.floor(3.2 / min_pitch * sr))
-    if 2 * hws + 1 > n:  # Praat errors; degrade to a signal-sized window
+    if window_dur > duration:
+        # Praat raises ("shorter than window length"); degrade to a
+        # signal-sized window instead — a forgiving superset of the
+        # oracle's domain. When the window merely OVERHANGS (2·hws+1 > n
+        # but window_dur ≤ duration) keep Praat's hws: the masked path
+        # clips per frame exactly like the oracle.
         hws = max((n - 1) // 2, 1)
-    nf = max(1, int(np.floor((duration - 6.4 / min_pitch) / ts)) + 1)
+    nf = max(1, int(np.floor((duration - window_dur) / ts)) + 1)
     first_time = 0.5 * duration - 0.5 * nf * ts + 0.5 * ts
     hop = max(1, int(round(ts * sr)))
-    # nearest sample of the first mid-time, round-half-up at exact ties
-    # (same epsilon rule as oracle.praat_intensity_np)
-    mid0 = int(np.floor(first_time * sr + 1e-6))
-    return hws, hop, nf, mid0, ts, first_time
+    return hws, hop, nf, ts, first_time
 
 
 def _kaiser20(hws: int, half_dur_samples: float) -> np.ndarray:
@@ -80,7 +86,7 @@ def intensity_db(
 ) -> jnp.ndarray:
     """Intensity contour [NF] in dB for 1-D x (interpreted as Pascal)."""
     n = x.shape[-1]
-    hws, hop, nf, _, ts, ft = _geometry(n, sr, min_pitch, time_step)
+    hws, hop, nf, ts, ft = _geometry(n, sr, min_pitch, time_step)
     nw = 2 * hws + 1
     w = _kaiser20(hws, 3.2 / min_pitch * sr)
     # pre-normalized (the masked path normalizes by valid@w, a ratio in
@@ -98,10 +104,13 @@ def intensity_db(
     starts = mids - hws
     uniform = bool(np.all(mids == mids[0] + np.arange(nf, dtype=np.int64) * hop))
     clips = starts[0] < 0 or starts[-1] + nw > n  # static
+    # parity surface: the windowed-square matvec must not round operands
+    # to bf16 (TPU matmul default — the repo's documented 2.6e-3 bug class)
+    _hi = jax.lax.Precision.HIGHEST
     if uniform and not clips:
         frames = frame_by_slices(x, int(starts[0]), nf, nw, hop)
         d = frames - jnp.mean(frames, axis=-1, keepdims=True)
-        ms = (d * d) @ wj
+        ms = jnp.matmul(d * d, wj, precision=_hi)
     else:
         # Two rare cases share this masked path: (a) boundary frames (≤1
         # sample of overhang from nearest-index rounding) — Praat sums only
@@ -126,7 +135,9 @@ def intensity_db(
         cnt = jnp.sum(valid, axis=-1, keepdims=True)
         mean = jnp.sum(frames, axis=-1, keepdims=True) / cnt  # pads are 0
         d = (frames - mean) * valid
-        ms = (d * d) @ wj / (valid @ wj)
+        ms = jnp.matmul(d * d, wj, precision=_hi) / jnp.matmul(
+            valid, wj, precision=_hi
+        )
     return jnp.where(
         ms < 1e-30,
         jnp.asarray(-300.0, x.dtype),
@@ -136,5 +147,5 @@ def intensity_db(
 
 def intensity_times(n: int, sr: float, min_pitch: float, time_step: float) -> np.ndarray:
     """Frame mid-times of :func:`intensity_db` (host-side, Praat nominal)."""
-    _, _, nf, _, ts, first_time = _geometry(n, sr, min_pitch, time_step)
+    _, _, nf, ts, first_time = _geometry(n, sr, min_pitch, time_step)
     return first_time + np.arange(nf) * ts

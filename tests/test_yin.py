@@ -166,19 +166,23 @@ def test_pyin_oracle_parity_collision_heavy():
         np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
 
 
-def test_pyin_oracle_parity_praat_band():
-    """Decoded states vs the float64 oracle at the F0Config default band
-    (fmin 75, fmax 600 — the golden config). Two envelope-null frames sit
-    close enough to the voicing decision boundary that the energy term's
-    reduction order decides them: the FFT-roundtrip energy path used to
-    flip both; the prefix-sum energy term (more accurate) matches the
+def test_pyin_oracle_parity_f32():
+    """Decoded states vs the float64 oracle with FLOAT32 device input —
+    the production dtype (extract_f0 casts to f32; the other oracle tests
+    run f64 under the suite's x64 default, where reduction-order effects
+    vanish). Two envelope-null frames of this fixture sit close enough to
+    the voicing decision boundary that the f32 energy term's reduction
+    order decides them: the FFT-roundtrip energy path flipped both in f32
+    (while passing every f64 gate); the prefix-sum energy term matches the
     oracle exactly."""
     from modulation_mfcc_tpu.oracle import pyin_np
 
     sig, sr = _speechlike_sig()
     of0, ovoiced, _ = pyin_np(sig, sr, fmin=75.0, fmax=600.0, hop_length=100)
     jf0 = np.asarray(
-        pyin_f0(jnp.asarray(sig), sr=float(sr), fmin=75.0, fmax=600.0)
+        pyin_f0(
+            jnp.asarray(sig, dtype=jnp.float32), sr=float(sr), fmin=75.0, fmax=600.0
+        )
     )
     assert jf0.shape == of0.shape
     jvoiced = jf0 > 0
