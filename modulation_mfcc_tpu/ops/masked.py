@@ -184,11 +184,18 @@ def masked_savgol(
         acc = acc + float(c) * _take(x, jnp.clip(i - half + j, 0, t - 1))
     # left edge rows: E_left @ x[:w]
     e = np.asarray(edge_op)
-    left = x[..., :window_length] @ jnp.asarray(e[:half].T, dtype=x.dtype)
+    hi = jax.lax.Precision.HIGHEST  # scipy-parity edge blocks, bf16-proof
+    left = jnp.matmul(
+        x[..., :window_length], jnp.asarray(e[:half].T, dtype=x.dtype),
+        precision=hi,
+    )
     # right edge rows: E_right @ x[L-w : L]
     win_idx = length - window_length + jnp.arange(window_length)
     lastwin = _take(x, jnp.clip(win_idx, 0, t - 1))
-    right = lastwin @ jnp.asarray(e[window_length - half :].T, dtype=x.dtype)
+    right = jnp.matmul(
+        lastwin, jnp.asarray(e[window_length - half :].T, dtype=x.dtype),
+        precision=hi,
+    )
     out = acc
     for r in range(half):
         out = jnp.where(i == r, left[..., r : r + 1], out)

@@ -17,6 +17,7 @@ from functools import lru_cache
 import numpy as np
 import scipy.signal as _sps
 
+import jax
 import jax.numpy as jnp
 
 
@@ -61,8 +62,13 @@ def savgol_filter_jax(
     y = y.reshape(lead + (t - window_length + 1,))
     # y covers output indices [half, t-half-1] (valid part)
     e = jnp.asarray(edge_op, dtype=x.dtype)
-    left = x[..., :window_length] @ e[:half].T
-    right = x[..., -window_length:] @ e[window_length - half :].T
+    # scipy-parity surface (≤1e-8): tiny edge blocks, never let the TPU
+    # bf16 matmul default round their operands
+    hi = jax.lax.Precision.HIGHEST
+    left = jnp.matmul(x[..., :window_length], e[:half].T, precision=hi)
+    right = jnp.matmul(
+        x[..., -window_length:], e[window_length - half :].T, precision=hi
+    )
     return jnp.concatenate([left, y, right], axis=-1)
 
 
