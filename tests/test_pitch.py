@@ -266,6 +266,30 @@ def test_pitch_ac_matches_boersma_oracle(speechlike):
     np.testing.assert_allclose(got[v], want[v], atol=0.2)
 
 
+def test_pitch_ac_oracle_nondefault_costs(speechlike):
+    """Oracle parity at a NON-default configuration — wide low band plus
+    shifted cost knobs (octaveCost/octaveJumpCost/voicingThresh/
+    silenceThresh, hop 12.5 ms). Exercises the candidate-elite selection
+    and path-finder cost formulas away from the defaults every other
+    oracle test runs at (reference exposes all of these,
+    script/calc.py:400-406)."""
+    from modulation_mfcc_tpu.oracle import boersma_pitch_np
+
+    y, sr = speechlike
+    kw = dict(
+        hop=0.0125, min_pitch=50.0, max_pitch=300.0,
+        silence_thresh=0.06, voicing_thresh=0.5,
+        octave_cost=0.05, octave_jump_cost=0.5, voiced_unvoiced_cost=0.2,
+    )
+    want = boersma_pitch_np(y, sr, **kw)
+    got = np.asarray(pitch_ac(jnp.asarray(y), sr=float(sr), ac_engine="fft", **kw))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got > 0, want > 0)
+    v = want > 0
+    assert v.sum() > 20
+    np.testing.assert_allclose(got[v], want[v], atol=0.2)
+
+
 def test_pitch_very_accurate_matches_boersma_oracle(speechlike):
     """veryAccurate mode (AC_GAUSS window over 6 periods, sinc700
     refinement — Praat To Pitch veryAccurate, script/calc.py:545-546) vs

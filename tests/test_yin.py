@@ -190,6 +190,28 @@ def test_pyin_oracle_parity_f32():
     np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-5)
 
 
+def test_pyin_oracle_parity_nondefault_knobs():
+    """Oracle parity with the pyin distribution knobs moved off their
+    defaults (coarser resolution → different n_bins, different Beta prior,
+    hotter Boltzmann, stickier switch_prob, fatter no_trough mass, fewer
+    thresholds). All are reference-exposed (script/calc.py:408-419);
+    decoded states must stay bit-identical to the float64 oracle."""
+    from modulation_mfcc_tpu.oracle import pyin_np
+
+    sig, sr = _speechlike_sig()
+    kw = dict(
+        fmin=65.0, fmax=500.0, n_thresholds=50, beta_parameters=(1.5, 10.0),
+        boltzmann_parameter=4, resolution=0.2, max_transition_rate=20.0,
+        switch_prob=0.05, no_trough_prob=0.05,
+    )
+    of0, ovoiced, _ = pyin_np(sig, sr, hop_length=100, **kw)
+    jf0 = np.asarray(pyin_f0(jnp.asarray(sig), sr=float(sr), **kw))
+    assert jf0.shape == of0.shape
+    jvoiced = jf0 > 0
+    np.testing.assert_array_equal(jvoiced, ovoiced)
+    np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
+
+
 def test_transition_width_guard():
     """width < 1 gives an empty triangular window (librosa raises
     ParameterError); both the device helper and the oracle must refuse
