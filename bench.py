@@ -109,16 +109,16 @@ def _tracker_throughput(batch: int, seconds: float, n_super: int) -> float:
     return batch * seconds / 3600.0 / best
 
 
-def _pyin_throughput(batch: int, seconds: float, n_super: int) -> float:
+def _pyin_throughput(
+    batch: int, seconds: float, n_super: int, sr: int = 10_000
+) -> float:
     """Probabilistic-YIN sweep (librosa.pyin parity path: sliding CMNDF,
-    sorted-segment threshold sweep, dense max-plus Viterbi) — audio-h/s/chip
-    at 10 kHz, same distinct-inputs lax.map methodology as the others."""
+    sorted-segment threshold sweep, dense max-plus Viterbi) — audio-h/s/chip,
+    same distinct-inputs lax.map methodology as the others."""
     import jax
     import jax.numpy as jnp
 
     from modulation_mfcc_tpu.ops.yin import pyin_f0
-
-    sr = 10_000
     t_pad = int(seconds * sr)
     keys = jax.random.split(jax.random.PRNGKey(2), 2)
     gen = jax.jit(lambda k: jax.random.normal(k, (n_super, batch, t_pad), jnp.float32))
@@ -293,6 +293,7 @@ def main() -> None:
 
     trackers = _try(_tracker_throughput, 16, seconds, 8)
     pyin = _try(_pyin_throughput, 8, seconds, 8)
+    pyin16 = _try(_pyin_throughput, 8, seconds, 8, sr=16_000)
     masked = _try(_masked_batch_throughput)
     longform = _try(_longform_1h_seconds)
     corpus = _try(_corpus_throughput)
@@ -309,6 +310,7 @@ def main() -> None:
                 "f32_x3_mode": round(x3, 3),
                 "tracker_sweep": trackers,
                 "pyin_sweep": pyin,
+                "pyin_sweep_16k": pyin16,
                 "masked_batch_64": masked,
                 "longform_1h_s": longform,
                 "corpus_sweep": corpus,
