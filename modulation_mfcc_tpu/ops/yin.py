@@ -103,6 +103,29 @@ def yin_cmndf(frames: jnp.ndarray, max_lag: int, win_length: int | None = None) 
     return _cmndf_from_terms(cross, e_tau, frames.dtype)
 
 
+def _cmndf_nfft(m: int) -> int:
+    """FFT size for the row correlations: next power of two by default.
+
+    MODMFCC_CMNDF_NFFT=smooth picks the smallest 5-smooth size ≥ m instead
+    (perf probe only — at 16 kHz the context is 353, so pow2 pads to 512
+    while 360 would do; whether XLA's TPU FFT handles mixed radix faster
+    than the padding costs is an empirical question, measure before
+    flipping any default)."""
+    import os
+
+    if os.environ.get("MODMFCC_CMNDF_NFFT") == "smooth":
+        n = m
+        while True:
+            k = n
+            for p in (2, 3, 5):
+                while k % p == 0:
+                    k //= p
+            if k == 1:
+                return n
+            n += 1
+    return int(2 ** np.ceil(np.log2(m)))
+
+
 def _sliding_cmndf(
     xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int
 ) -> jnp.ndarray:
@@ -136,7 +159,7 @@ def _sliding_cmndf(
     q2, rem2 = divmod(w, hop)  # energy windows are w products long
     n_rows = nf + q1  # last row read: f_max + q1 (partial), f_max = nf-1
     m_ctx = hop + max_lag + 1  # context: r < hop, lag ≤ max_lag+1
-    nfft = int(2 ** np.ceil(np.log2(max(m_ctx, 2))))
+    nfft = _cmndf_nfft(max(m_ctx, 2))
     need_len = (n_rows - 1) * hop + m_ctx
     if xp.shape[-1] < need_len:
         cfgp = [(0, 0)] * (xp.ndim - 1) + [(0, need_len - xp.shape[-1])]
