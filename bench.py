@@ -260,7 +260,7 @@ def _await_backend(max_tries: int = 5, wait_s: float = 120.0) -> None:
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp;"
                  "print(float(jnp.sum(jnp.ones((8, 128)))))"],
-                timeout=600, capture_output=True, env=os.environ,
+                timeout=180, capture_output=True, env=os.environ,
             )
             if r.returncode == 0:
                 return
