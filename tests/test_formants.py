@@ -127,3 +127,30 @@ def test_lpc_formants_matches_float64_oracle(speechlike):
     np.testing.assert_allclose(got_f[m], want_f[m], atol=0.05)
     mb = m & np.isfinite(want_b) & np.isfinite(got_b)
     np.testing.assert_allclose(got_b[mb], want_b[mb], atol=0.05)
+
+
+def test_lpc_formants_oracle_nondefault_config(speechlike):
+    """Oracle parity away from the Praat defaults: order 8 (4 formants),
+    shorter window, coarser step, higher pre-emphasis — exercises the
+    window/geometry/order plumbing the defaults test can't distinguish
+    (all reference-exposed knobs, script/calc.py:131-148)."""
+    from modulation_mfcc_tpu.ops.lpc import lpc_formants
+    from modulation_mfcc_tpu.oracle import praat_formants_np
+
+    y, sr = speechlike
+    y = y[: sr]
+    kw = dict(
+        window_length=0.015, time_step=0.01, pre_emphasis_from=75.0,
+        max_formant=sr / 2,
+    )
+    got_f, got_b = lpc_formants(
+        jnp.asarray(y), sr=float(sr), order=8, burg_engine="xla", **kw
+    )
+    _, want_f, want_b = praat_formants_np(y, sr, max_formants=4.0, **kw)
+    got_f, got_b = np.asarray(got_f), np.asarray(got_b)
+    np.testing.assert_array_equal(np.isfinite(got_f), np.isfinite(want_f))
+    m = np.isfinite(want_f)
+    assert m.sum() > 20
+    np.testing.assert_allclose(got_f[m], want_f[m], atol=0.05)
+    mb = m & np.isfinite(want_b) & np.isfinite(got_b)
+    np.testing.assert_allclose(got_b[mb], want_b[mb], atol=0.05)
