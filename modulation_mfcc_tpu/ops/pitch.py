@@ -127,10 +127,15 @@ def _sinc_band_matrix(grid: int, depth: int, nl: int) -> np.ndarray:
 
 
 def _refine_sinc_dense(
-    r_ext: jnp.ndarray, ext_left: int, lag_max: int, depth: int, grid: int = 17
+    r_ext: jnp.ndarray,
+    ext_left: int,
+    lag_max: int,
+    depth: int,
+    grid: int = 17,
+    lag_lo: int = 0,
 ):
     """Windowed-sinc peak refinement of ``r_ext`` [..., L] for EVERY integer
-    lag 0…lag_max at once: ``(pos_l, val_l)`` [..., lag_max+1] give, for
+    lag lag_lo…lag_max at once: ``(pos_l, val_l)`` [..., lag_max−lag_lo+1] give, for
     each lag ``l``, the position (in absolute lag samples) and value of the
     interpolant's maximum inside (l−1, l+1). Callers read off the entries
     at their candidate lags (a tiny element gather over K·NF values).
@@ -152,7 +157,7 @@ def _refine_sinc_dense(
     Praat's Brent refinement to far below the tracker's own tolerance."""
     offs = np.linspace(-1.0, 1.0, grid)
     S = 2 * depth + 3
-    nl = lag_max + 1
+    nl = lag_max - lag_lo + 1
     # The interpolant at every (lag, offset) pair is a 1-D correlation of
     # r_ext along the lag axis with the G weight rows: out[..., g, l] =
     # Σ_s r_ext[..., start + l + s]·w[s, g]. Expressed as ONE banded GEMM
@@ -167,7 +172,7 @@ def _refine_sinc_dense(
     # an explicit [..., nl, S] windows tensor — a ~2 GB strided concat at
     # tracker scale, ~19 ms slower still.
     lead = r_ext.shape[:-1]
-    start = ext_left - (depth + 1)
+    start = ext_left - (depth + 1) + lag_lo
     x = jax.lax.slice_in_dim(r_ext, start, start + nl + S - 1, axis=-1)
     wband = jnp.asarray(
         _sinc_band_matrix(grid, depth, nl), dtype=r_ext.dtype
@@ -195,7 +200,7 @@ def _refine_sinc_dense(
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (fm - fp) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
     h = float(offs[1] - offs[0])  # python float: no f64 promotion under x64
-    lag_grid = jnp.arange(nl, dtype=r_ext.dtype)
+    lag_grid = jnp.arange(lag_lo, lag_lo + nl, dtype=r_ext.dtype)
     off_at_max = jnp.sum(
         oh * jnp.asarray(offs, dtype=r_ext.dtype)[:, None], axis=-2
     )
@@ -221,6 +226,7 @@ def _refine_sinc_dense(
         "periods_per_window",
         "very_accurate",
         "ac_engine",
+        "sinc_engine",
     ),
 )
 def pitch_ac(
@@ -240,6 +246,7 @@ def pitch_ac(
     periods_per_window: float = 3.0,
     very_accurate: bool = False,
     ac_engine: str = "auto",
+    sinc_engine: str = "auto",
     valid_len=None,
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz (0 where unvoiced) for a 1-D signal.
@@ -254,6 +261,11 @@ def pitch_ac(
     elsewhere), 'mxu', or 'fft'. The two compute the same zero-padded
     autocorrelation; they differ only in float reduction order (f0 deltas
     ~1e-3 Hz, tested).
+
+    ``sinc_engine``: 'auto' (fused Pallas VMEM refinement kernel on TPU,
+    banded XLA GEMM elsewhere), 'pallas', or 'xla'. Identical band and
+    arithmetic; differ only in MXU reduction-order noise (tested in
+    interpret mode).
     """
     if method == "cc":
         periods_per_window = 1.0
@@ -432,12 +444,32 @@ def pitch_ac(
     r_ext = jnp.concatenate(
         [jnp.flip(r_full[..., 1 : ext_left + 1], axis=-1), r_full], axis=-1
     )
-    pos_l, val_l = _refine_sinc_dense(r_ext, ext_left, lag_max, depth)
+    # Refinement is evaluated on the band [lag_min, lag_max] only — every
+    # finite-score candidate lies inside (``in_range`` gates ``is_max``).
+    # On TPU the fused Pallas kernel keeps the [.., grid, nl] interpolant
+    # in VMEM (pallas/sinc_refine.py — the XLA banded GEMM materializes
+    # ~874 MB at 32×30 s scale and measured 16.6 ms on ~3 ms of MXU work);
+    # elsewhere (and for f64) the XLA form computes the identical band.
+    use_pallas_sinc = sinc_engine == "pallas" or (
+        sinc_engine == "auto"
+        and jax.default_backend() == "tpu"
+        and r_ext.dtype == jnp.float32
+    )
+    if use_pallas_sinc:
+        from modulation_mfcc_tpu.pallas.sinc_refine import refine_sinc_band_pallas
+
+        pos_l, val_l = refine_sinc_band_pallas(
+            r_ext, ext_left, lag_min, lag_max, depth
+        )
+    else:
+        pos_l, val_l = _refine_sinc_dense(
+            r_ext, ext_left, lag_max, depth, lag_lo=lag_min
+        )
     # candidate readoff via one-hot contraction, not take_along_axis:
     # three [NF, k]-element gathers measured ~9 ms EACH on v5e (16×30 s)
     # — more than the whole FFT autocorrelation — while the fused one-hot
     # reduction over [NF, k, nl] is ~1 ms for all three quantities.
-    ohc = (top_i[..., None] == lags).astype(r.dtype)  # [NF, k, nl]
+    ohc = (top_i[..., None] == lags[lag_min:]).astype(r.dtype)  # [NF, k, nl_band]
     top_lag = jnp.sum(ohc * pos_l[..., None, :], axis=-1)
     val_sinc = jnp.sum(ohc * val_l[..., None, :], axis=-1)
     # Praat's reflection-around-1 of the refined strength
@@ -451,7 +483,7 @@ def pitch_ac(
     # voiced-vs-UNVOICED comparisons, which is exactly why it must match.
     top_s = val_sinc - octave_cost * jnp.log2(jnp.maximum(max_pitch * tau_top, 1e-12))
     # candidates whose selection slot was empty (score -inf) stay invalid
-    was_cand = jnp.sum(ohc * is_max[..., None, :], axis=-1) > 0.5
+    was_cand = jnp.sum(ohc * is_max[..., None, lag_min:], axis=-1) > 0.5
     freqs = jnp.where(was_cand, sr / jnp.maximum(top_lag, 1e-6), 0.0)
     # clamp out-of-range candidates to unvoiced
     valid = was_cand & (freqs > min_pitch * 0.99) & (freqs < max_pitch * 1.01)

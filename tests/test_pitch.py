@@ -6,6 +6,7 @@ tolerance-based parity for the Praat-derived kernels.)"""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from modulation_mfcc_tpu.models.config import F0Config
@@ -331,3 +332,51 @@ def test_pitch_cc_matches_boersma_oracle(speechlike):
     v = (want > 0) & (got > 0)
     assert v.sum() > 20
     np.testing.assert_allclose(got[v], want[v], atol=0.2)
+
+
+def test_sinc_refine_pallas_matches_xla_banded():
+    """The fused Pallas refinement kernel (pallas/sinc_refine.py, interpret
+    mode here) must reproduce the XLA banded-GEMM form _refine_sinc_dense
+    on its band — same weights, same first-max argmax tie rule, same
+    parabola — to float reduction-order noise. Covers the default and
+    veryAccurate depths, a one-tile band (10 kHz defaults) and a two-tile
+    band (16 kHz), plain and vmapped."""
+    from modulation_mfcc_tpu.ops.pitch import _refine_sinc_dense
+    from modulation_mfcc_tpu.pallas.sinc_refine import refine_sinc_band_pallas
+
+    rng = np.random.default_rng(7)
+    for depth, lag_lo, lag_max in [(35, 16, 134), (70, 26, 214), (35, 2, 60)]:
+        ext_left = depth + 2
+        ln = ext_left + lag_max + depth + 3
+        # smooth autocorrelation-like rows (cosine mix) + pure noise rows:
+        # smooth data exercises near-tie argmax decisions
+        t = np.arange(ln)[None, :]
+        smooth = np.cos(2 * np.pi * t / rng.uniform(20, 80, (5, 1))) * np.exp(
+            -t / 400.0
+        )
+        rows = np.concatenate([smooth, rng.standard_normal((5, ln))])
+        r_ext = jnp.asarray(rows.astype(np.float32))
+        px, vx = _refine_sinc_dense(r_ext, ext_left, lag_max, depth, lag_lo=lag_lo)
+        pp, vp = refine_sinc_band_pallas(
+            r_ext, ext_left, lag_lo, lag_max, depth, interpret=True
+        )
+        assert pp.shape == px.shape == (10, lag_max - lag_lo + 1)
+        # refined VALUES must agree tightly everywhere
+        np.testing.assert_allclose(vp, vx, atol=1e-5)
+        # positions: exact agreement except where the interpolant is flat
+        # between adjacent grid offsets (an f32 tie — the argmax is then
+        # genuinely ambiguous and may differ by ~one grid step h=1/8; the
+        # tied VALUE equality above proves it is a tie, not a bug)
+        dp = np.abs(np.asarray(pp - px))
+        ties = dp > 1e-4
+        assert np.mean(ties) < 0.05, np.mean(ties)
+        assert dp.max() <= 0.26, dp.max()
+        pv, vv = jax.vmap(
+            lambda r: refine_sinc_band_pallas(
+                r, ext_left, lag_lo, lag_max, depth, interpret=True
+            )
+        )(jnp.stack([r_ext, 0.5 * r_ext]))
+        # vmap batching of the pallas_call must reproduce the unbatched
+        # kernel exactly (same kernel, extra grid dim)
+        np.testing.assert_array_equal(np.asarray(pv[0]), np.asarray(pp))
+        np.testing.assert_allclose(vv[1], 0.5 * vp, atol=1e-6)
