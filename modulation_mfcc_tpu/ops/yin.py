@@ -294,6 +294,7 @@ def _transition_local(n_states: int, width: float) -> np.ndarray:
         "no_trough_prob",
         "center",
         "pad_mode",
+        "viterbi_engine",
     ),
 )
 def pyin_f0(
@@ -314,12 +315,18 @@ def pyin_f0(
     no_trough_prob: float = 0.01,
     center: bool = True,
     pad_mode: str = "constant",
+    viterbi_engine: str = "auto",
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN).
 
     ``center``/``pad_mode`` follow librosa.pyin (reference passes
     pyincenter/pyinpad_mode through, script/calc.py:418-419): centered
     framing pads frame_length//2 on each side with the given numpy pad mode.
+
+    ``viterbi_engine``: 'auto' (whole-scan Pallas forward kernel on TPU —
+    pallas/viterbi.py, bit-identical deltas — XLA lax.scan elsewhere or
+    when the trellis exceeds VMEM), 'pallas', or 'xla'. The decoded path
+    is identical either way.
     """
     if win_length is None:
         win_length = frame_length // 2
@@ -564,10 +571,38 @@ def pyin_f0(
     p_init = np.zeros(2 * n_bins)
     p_init[n_bins:] = 1.0 / n_bins
     delta0 = log_obs[0] + jnp.asarray(np.log(p_init + tiny), dtype=cm.dtype)
-    # unroll: the [S,S] max-plus body is small relative to the per-step scan
-    # launch overhead at S=720 (banding measured WORSE for the same reason —
-    # CLAUDE.md r2 notes); unrolling amortizes it 8x
-    delta_f, delta_hist = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
+    # Engine: the whole-scan Pallas kernel keeps the [n, n] trellis
+    # broadcast-add-max in VMEM with the transition matrix resident — the
+    # XLA scan pays ~29 µs/step at n=360 for ~1 µs of VPU arithmetic
+    # (intermediate materialization + per-step layout churn; banding and
+    # unrolling measured worse, r2/r3 notes). Deltas are BIT-IDENTICAL
+    # between engines (elementwise adds + order-independent max), so the
+    # backtrace below decodes the same path either way.
+    nbl128 = ((n_bins + 127) // 128) * 128
+    vit_bytes = (((nf + 7) // 8 * 8) * 2 * nbl128 * 4) * 2 + nbl128 * nbl128 * 4
+    use_pallas_vit = nf > 1 and (
+        viterbi_engine == "pallas"
+        or (
+            viterbi_engine == "auto"
+            and jax.default_backend() == "tpu"
+            and cm.dtype == jnp.float32
+            and vit_bytes <= 10_000_000
+        )
+    )
+    if use_pallas_vit:
+        from modulation_mfcc_tpu.pallas.viterbi import viterbi_forward_pallas
+
+        delta_f, delta_hist = viterbi_forward_pallas(
+            log_obs,
+            delta0,
+            log_tri,
+            float(np.log(1.0 - switch_prob)),
+            float(np.log(switch_prob)),
+        )
+    else:
+        # unroll: the [S,S] max-plus body is small relative to the per-step
+        # scan launch overhead at S=720; unrolling amortizes it 8x
+        delta_f, delta_hist = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
     last = jnp.argmax(delta_f if nf > 1 else delta0)
 
     log_tri_t = log_tri.T  # row v = log_tri[:, v]: per-step column readout

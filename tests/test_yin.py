@@ -244,3 +244,45 @@ def test_pyin_oracle_parity_uncentered_and_reflect():
         jvoiced = jf0 > 0
         np.testing.assert_array_equal(jvoiced, ovoiced)
         np.testing.assert_allclose(jf0[jvoiced], of0[ovoiced], rtol=1e-12)
+
+
+def test_viterbi_forward_pallas_bit_identical():
+    """The whole-scan Pallas forward (pallas/viterbi.py, interpret mode)
+    must emit BIT-IDENTICAL deltas to the XLA kron-factored recursion —
+    elementwise adds are deterministic and max is order-independent, so
+    any difference is a bug, not noise. Covers n_bins both below and
+    above one 128-lane tile."""
+    import jax
+
+    from modulation_mfcc_tpu.pallas.viterbi import viterbi_forward_pallas
+
+    rng = np.random.default_rng(11)
+    for n_bins, nf in [(360, 40), (130, 7), (37, 25)]:
+        c_stay, c_sw = float(np.log(0.99)), float(np.log(0.01))
+        log_obs = jnp.asarray(
+            np.log(rng.random((nf, 2 * n_bins)) + 1e-12).astype(np.float32)
+        )
+        delta0 = jnp.asarray(
+            np.log(rng.random(2 * n_bins) + 1e-12).astype(np.float32)
+        )
+        tri = rng.random((n_bins, n_bins))
+        log_tri = jnp.asarray(np.log(tri / tri.sum(0) + 1e-30).astype(np.float32))
+
+        def vstep(delta, lo):
+            d_v, d_u = delta[:n_bins], delta[n_bins:]
+            m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
+            m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
+            new = jnp.concatenate(
+                [
+                    jnp.max(m_v[:, None] + log_tri, axis=0),
+                    jnp.max(m_u[:, None] + log_tri, axis=0),
+                ]
+            )
+            return new + lo, delta
+
+        want_f, want_hist = jax.lax.scan(vstep, delta0, log_obs[1:])
+        got_f, got_hist = viterbi_forward_pallas(
+            log_obs, delta0, log_tri, c_stay, c_sw, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+        np.testing.assert_array_equal(np.asarray(got_hist), np.asarray(want_hist))
