@@ -323,10 +323,12 @@ def pyin_f0(
     pyincenter/pyinpad_mode through, script/calc.py:418-419): centered
     framing pads frame_length//2 on each side with the given numpy pad mode.
 
-    ``viterbi_engine``: 'auto' (whole-scan Pallas forward kernel on TPU —
-    pallas/viterbi.py, bit-identical deltas — XLA lax.scan elsewhere or
-    when the trellis exceeds VMEM), 'pallas', or 'xla'. The decoded path
-    is identical either way.
+    ``viterbi_engine``: 'auto' (fused whole-scan Pallas forward+backtrace
+    on TPU — pallas/viterbi.py, the delta history never leaves VMEM —
+    XLA lax.scan elsewhere or when the trellis exceeds VMEM),
+    'pallas_full' (force fused), 'pallas' (Pallas forward + XLA
+    backtrace), or 'xla'. The decoded path is bit-identical across all
+    engines (interpret-mode tests).
     """
     if win_length is None:
         win_length = frame_length // 2
@@ -579,20 +581,18 @@ def pyin_f0(
     # between engines (elementwise adds + order-independent max), so the
     # backtrace below decodes the same path either way.
     nbl128 = ((n_bins + 127) // 128) * 128
-    vit_bytes = (((nf + 7) // 8 * 8) * 2 * nbl128 * 4) * 2 + nbl128 * nbl128 * 4
-    use_pallas_vit = nf > 1 and (
-        viterbi_engine == "pallas"
-        or (
-            viterbi_engine == "auto"
-            and jax.default_backend() == "tpu"
-            and cm.dtype == jnp.float32
-            and vit_bytes <= 10_000_000
-        )
+    vit_bytes = (((nf + 7) // 8 * 8) * 2 * nbl128 * 4) * 2 + nbl128 * nbl128 * 8
+    fits = nf > 1 and cm.dtype == jnp.float32 and vit_bytes <= 10_000_000
+    use_fused_vit = fits and (
+        viterbi_engine == "pallas_full"
+        or (viterbi_engine == "auto" and jax.default_backend() == "tpu")
     )
-    if use_pallas_vit:
-        from modulation_mfcc_tpu.pallas.viterbi import viterbi_forward_pallas
+    use_pallas_fwd = fits and viterbi_engine == "pallas"
+    if use_fused_vit:
+        # fused forward + backtrace: the delta history never leaves VMEM
+        from modulation_mfcc_tpu.pallas.viterbi import viterbi_decode_pallas
 
-        delta_f, delta_hist = viterbi_forward_pallas(
+        path = viterbi_decode_pallas(
             log_obs,
             delta0,
             log_tri,
@@ -600,28 +600,42 @@ def pyin_f0(
             float(np.log(switch_prob)),
         )
     else:
-        # unroll: the [S,S] max-plus body is small relative to the per-step
-        # scan launch overhead at S=720; unrolling amortizes it 8x
-        delta_f, delta_hist = jax.lax.scan(vstep, delta0, log_obs[1:], unroll=8)
-    last = jnp.argmax(delta_f if nf > 1 else delta0)
+        if use_pallas_fwd:
+            from modulation_mfcc_tpu.pallas.viterbi import viterbi_forward_pallas
 
-    log_tri_t = log_tri.T  # row v = log_tri[:, v]: per-step column readout
+            delta_f, delta_hist = viterbi_forward_pallas(
+                log_obs,
+                delta0,
+                log_tri,
+                float(np.log(1.0 - switch_prob)),
+                float(np.log(switch_prob)),
+            )
+        else:
+            # unroll: the [S,S] max-plus body is small relative to the
+            # per-step scan launch overhead at S=720; unrolling amortizes
+            # it 8x
+            delta_f, delta_hist = jax.lax.scan(
+                vstep, delta0, log_obs[1:], unroll=8
+            )
+        last = jnp.argmax(delta_f if nf > 1 else delta0)
 
-    def back(nxt, delta_prev):
-        d_v, d_u = delta_prev[:n_bins], delta_prev[n_bins:]
-        voiced_t = nxt < n_bins
-        pos = jnp.where(voiced_t, nxt, nxt - n_bins)
-        a = jnp.where(voiced_t, c_stay, c_sw)
-        b = jnp.where(voiced_t, c_sw, c_stay)
-        m = jnp.maximum(d_v + a, d_u + b)
-        sel = (d_u + b) > (d_v + a)  # True: source was unvoiced
-        col = jax.lax.dynamic_slice_in_dim(log_tri_t, pos, 1, axis=0)[0]
-        base = jnp.argmax(m + col)
-        cur = base + n_bins * sel[base].astype(base.dtype)
-        return cur, cur
+        log_tri_t = log_tri.T  # row v = log_tri[:, v]: per-step column readout
 
-    _, path_rev = jax.lax.scan(back, last, delta_hist, reverse=True, unroll=8)
-    path = jnp.concatenate([path_rev, jnp.asarray([last])])
+        def back(nxt, delta_prev):
+            d_v, d_u = delta_prev[:n_bins], delta_prev[n_bins:]
+            voiced_t = nxt < n_bins
+            pos = jnp.where(voiced_t, nxt, nxt - n_bins)
+            a = jnp.where(voiced_t, c_stay, c_sw)
+            b = jnp.where(voiced_t, c_sw, c_stay)
+            m = jnp.maximum(d_v + a, d_u + b)
+            sel = (d_u + b) > (d_v + a)  # True: source was unvoiced
+            col = jax.lax.dynamic_slice_in_dim(log_tri_t, pos, 1, axis=0)[0]
+            base = jnp.argmax(m + col)
+            cur = base + n_bins * sel[base].astype(base.dtype)
+            return cur, cur
+
+        _, path_rev = jax.lax.scan(back, last, delta_hist, reverse=True, unroll=8)
+        path = jnp.concatenate([path_rev, jnp.asarray([last])])
     voiced = path < n_bins
     bin_of = jnp.where(voiced, path, path - n_bins)
     f0 = fmin * 2.0 ** (bin_of.astype(cm.dtype) / (12.0 * nbps))

@@ -286,3 +286,61 @@ def test_viterbi_forward_pallas_bit_identical():
         )
         np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
         np.testing.assert_array_equal(np.asarray(got_hist), np.asarray(want_hist))
+
+
+def test_viterbi_decode_pallas_bit_identical():
+    """The fused forward+backtrace kernel must decode the IDENTICAL state
+    path as the XLA scan pair (first-max argmax ties included)."""
+    import jax
+
+    from modulation_mfcc_tpu.pallas.viterbi import viterbi_decode_pallas
+
+    rng = np.random.default_rng(13)
+    for n_bins, nf in [(360, 40), (130, 7)]:
+        c_stay, c_sw = float(np.log(0.99)), float(np.log(0.01))
+        log_obs = jnp.asarray(
+            np.log(rng.random((nf, 2 * n_bins)) + 1e-12).astype(np.float32)
+        )
+        delta0 = jnp.asarray(
+            np.log(rng.random(2 * n_bins) + 1e-12).astype(np.float32)
+        )
+        tri = rng.random((n_bins, n_bins))
+        log_tri = jnp.asarray(np.log(tri / tri.sum(0) + 1e-30).astype(np.float32))
+
+        def vstep(delta, lo):
+            d_v, d_u = delta[:n_bins], delta[n_bins:]
+            m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
+            m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
+            new = jnp.concatenate(
+                [
+                    jnp.max(m_v[:, None] + log_tri, axis=0),
+                    jnp.max(m_u[:, None] + log_tri, axis=0),
+                ]
+            )
+            return new + lo, delta
+
+        delta_f, delta_hist = jax.lax.scan(vstep, delta0, log_obs[1:])
+        last = jnp.argmax(delta_f)
+        log_tri_t = log_tri.T
+
+        def back(nxt, delta_prev):
+            d_v, d_u = delta_prev[:n_bins], delta_prev[n_bins:]
+            voiced_t = nxt < n_bins
+            pos = jnp.where(voiced_t, nxt, nxt - n_bins)
+            a = jnp.where(voiced_t, c_stay, c_sw)
+            b = jnp.where(voiced_t, c_sw, c_stay)
+            m = jnp.maximum(d_v + a, d_u + b)
+            sel = (d_u + b) > (d_v + a)
+            col = jax.lax.dynamic_slice_in_dim(log_tri_t, pos, 1, axis=0)[0]
+            base = jnp.argmax(m + col)
+            cur = base + n_bins * sel[base].astype(base.dtype)
+            return cur, cur
+
+        _, path_rev = jax.lax.scan(back, last, delta_hist, reverse=True)
+        want = np.asarray(jnp.concatenate([path_rev, jnp.asarray([last])]))
+        got = np.asarray(
+            viterbi_decode_pallas(
+                log_obs, delta0, log_tri, c_stay, c_sw, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)
