@@ -580,9 +580,9 @@ def pyin_f0(
     # unrolling measured worse, r2/r3 notes). Deltas are BIT-IDENTICAL
     # between engines (elementwise adds + order-independent max), so the
     # backtrace below decodes the same path either way.
-    nbl128 = ((n_bins + 127) // 128) * 128
-    vit_bytes = (((nf + 7) // 8 * 8) * 2 * nbl128 * 4) * 2 + nbl128 * nbl128 * 8
-    fits = nf > 1 and cm.dtype == jnp.float32 and vit_bytes <= 10_000_000
+    # The kernels stream frame chunks through VMEM, so the only size limit
+    # is the HBM delta-history buffer (~[NF, 2·nbl]·f32) — cap generously.
+    fits = nf > 1 and cm.dtype == jnp.float32 and nf <= 200_000
     use_fused_vit = fits and (
         viterbi_engine == "pallas_full"
         or (viterbi_engine == "auto" and jax.default_backend() == "tpu")

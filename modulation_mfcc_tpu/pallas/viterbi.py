@@ -1,14 +1,18 @@
-"""Pallas pyin Viterbi forward pass: the whole scan in one kernel launch.
+"""Pallas pyin Viterbi: the whole decode in two streaming kernel launches.
 
 librosa.pyin's decoder (reference: /root/reference/script/calc.py:562-581)
 is a 2·n_bins-state max-plus relaxation over frames. The XLA form
-(ops/yin.py:vstep under lax.scan) costs ~29 µs per step at n_bins=360 on
+(ops/yin.py:vstep under lax.scan) pays ~5-6 µs per step at n_bins=360 on
 v5e against ~1 µs of VPU arithmetic — the [n, n] broadcast-add-max
 intermediates and the scan's per-step layout churn dominate, and banding
 or unrolling does not remove them (r2/r3 notes).
 
-This kernel runs the complete forward recursion in one launch with the
-log-transition matrix resident in VMEM. Per step (all VPU, no HBM):
+Here the complete forward recursion runs in ONE launch. Frames stream
+through VMEM in chunks (the trellis at tracker scale — NF≈3000 rows of
+768 lanes — does not fit VMEM whole): the observation block and the
+delta-history output block advance with the sequential TPU grid while
+the carry delta lives in a VMEM scratch that persists across grid steps.
+Per step (all VPU, no HBM round-trips):
 
     m_v = max(δ_V + log(1−s), δ_U + log s)     (elementwise, lanes)
     m_u = max(δ_V + log s,   δ_U + log(1−s))
@@ -19,13 +23,20 @@ log-transition matrix resident in VMEM. Per step (all VPU, no HBM):
 
 which is the identical arithmetic of the XLA kron-factored step —
 elementwise adds are bit-exact and max is order-independent — so the
-emitted delta history is BIT-IDENTICAL and the XLA backtrace decodes the
-same path (the float64-oracle identical-bin tests remain the bar).
+emitted delta history is BIT-IDENTICAL and the backtrace decodes the
+same path (the float64-oracle identical-bin tests remain the bar). The
+backtrace itself is a second streaming kernel walking the chunks in
+reverse, reproducing jnp.argmax's first-max tie rule with a
+min-of-iota-at-max readout.
 
 State blocks are padded to 128-lane multiples with −1e30 (never −inf:
 pads must stay finite so they cannot produce NaNs through the adds); the
 padding is stable under the recursion because every padded source row or
 target column of the transition matrix is itself −1e30.
+
+History rows are stored SHIFTED (hist[s] = delta at entry of step s =
+δ_{s−1}) so each row lands in the same chunk as the observation row that
+produced it; the wrappers slice the shift away.
 """
 from __future__ import annotations
 
@@ -45,24 +56,161 @@ __all__ = ["viterbi_forward_pallas", "viterbi_decode_pallas"]
 _PAD = -1e30
 
 
-def _viterbi_kernel(
-    obs_ref, d0_ref, tri_ref, hist_ref, dfin_ref, *, nf: int, nbl: int, c_stay: float, c_sw: float
-):
-    tri = tri_ref[...]  # [nbl, nbl], −1e30 on padded rows/cols
+def _relax(d, tri, nbl, c_stay, c_sw):
+    """One kron-factored max-plus step (without the observation add)."""
+    d_v = d[:, :nbl]
+    d_u = d[:, nbl:]
+    m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
+    m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
+    mt = jnp.transpose(jnp.concatenate([m_v, m_u], axis=1))  # [2·nbl, 1]
+    new_v = jnp.max(mt[:nbl] + tri, axis=0, keepdims=True)
+    new_u = jnp.max(mt[nbl:] + tri, axis=0, keepdims=True)
+    return jnp.concatenate([new_v, new_u], axis=1)
 
-    def body(t, d):
-        hist_ref[pl.ds(t, 1), :] = d  # delta at entry of step t+1
-        lo = obs_ref[pl.ds(t + 1, 1), :]  # [1, 2·nbl]
+
+def _fwd_kernel(
+    obs_ref,
+    d0_ref,
+    tri_ref,
+    hist_ref,
+    dfin_ref,
+    dstate,
+    *,
+    nf: int,
+    ch: int,
+    nbl: int,
+    c_stay: float,
+    c_sw: float,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dstate[...] = d0_ref[...]
+
+    tri = tri_ref[...]
+    base = i * ch
+    lo_s = jnp.maximum(0, 1 - base)  # step s=0 has no transition into it
+    hi_s = jnp.minimum(ch, nf - base)
+
+    def body(j, _):
+        d = dstate[...]
+        hist_ref[pl.ds(j, 1), :] = d  # hist[s] = delta at entry of step s
+        lo = obs_ref[pl.ds(j, 1), :]
+        dstate[...] = _relax(d, tri, nbl, c_stay, c_sw) + lo
+        return 0
+
+    jax.lax.fori_loop(lo_s, hi_s, body, 0)
+    dfin_ref[...] = dstate[...]  # revisited block; final chunk's value wins
+
+
+def _bwd_kernel(
+    hist_ref,
+    trit_ref,
+    last_ref,
+    pout_ref,
+    cur_s,
+    *,
+    nf: int,
+    ch: int,
+    n_bins: int,
+    nbl: int,
+    nchunks: int,
+    c_stay: float,
+    c_sw: float,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cur_s[0, 0] = last_ref[0, 0]
+
+    base = (nchunks - 1 - i) * ch
+    lo_s = jnp.maximum(0, 1 - base)
+    hi_s = jnp.minimum(ch, nf - base)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
+
+    def body(k, nxt):
+        j = hi_s - 1 - k  # walk the chunk's rows s = base+j in reverse
+        d = hist_ref[pl.ds(j, 1), :]  # δ_{s−1} = δ_t for t = s−1
         d_v = d[:, :nbl]
         d_u = d[:, nbl:]
-        m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
-        m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
-        mt = jnp.transpose(jnp.concatenate([m_v, m_u], axis=1))  # [2·nbl, 1]
-        new_v = jnp.max(mt[:nbl] + tri, axis=0, keepdims=True)
-        new_u = jnp.max(mt[nbl:] + tri, axis=0, keepdims=True)
-        return jnp.concatenate([new_v, new_u], axis=1) + lo
+        voiced_t = nxt < n_bins
+        pos = jnp.where(voiced_t, nxt, nxt - n_bins)
+        a = jnp.where(voiced_t, c_stay, c_sw)
+        b = jnp.where(voiced_t, c_sw, c_stay)
+        m = jnp.maximum(d_v + a, d_u + b)
+        sel = (d_u + b) > (d_v + a)
+        col = trit_ref[pl.ds(pos, 1), :]  # log_tri[:, pos] as a row
+        score = m + col
+        smx = jnp.max(score)
+        base_i = jnp.min(jnp.where(score == smx, lanes, nbl))  # first max
+        sel_at = jnp.sum(jnp.where(lanes == base_i, sel.astype(jnp.int32), 0))
+        cur = (base_i + n_bins * sel_at).astype(jnp.int32)
+        # pout[s] = decoded state at frame s−1 (same shift as hist)
+        pout_ref[pl.ds(j, 1), :] = jnp.full((1, 128), cur, jnp.int32)
+        return cur
 
-    dfin_ref[...] = jax.lax.fori_loop(0, nf - 1, body, d0_ref[...])
+    cur_s[0, 0] = jax.lax.fori_loop(0, hi_s - lo_s, body, cur_s[0, 0])
+
+
+def _pad_state(v2n, n, nbl, fill):
+    """[..., 2n] → [..., 2·nbl]: each of the two state blocks padded to a
+    128-lane multiple with ``fill``."""
+    pad = [(0, 0)] * (v2n.ndim - 1) + [(0, nbl - n)]
+    return jnp.concatenate(
+        [
+            jnp.pad(v2n[..., :n], pad, constant_values=fill),
+            jnp.pad(v2n[..., n:], pad, constant_values=fill),
+        ],
+        axis=-1,
+    )
+
+
+def _prep(log_obs, delta0, log_tri):
+    nf, two_n = log_obs.shape
+    n = two_n // 2
+    nbl = round_up_to_multiple(n, 128)
+    # chunk rows: fit obs + hist blocks comfortably in VMEM double-buffering
+    ch = 256 if nbl <= 512 else 128
+    nchunks = max(1, -(-nf // ch))
+    nfp = nchunks * ch
+    obs = _pad_state(log_obs.astype(jnp.float32), n, nbl, 0.0)
+    obs = jnp.pad(obs, ((0, nfp - nf), (0, 0)))
+    d0 = _pad_state(delta0.astype(jnp.float32)[None, :], n, nbl, _PAD)
+    tri = jnp.pad(
+        log_tri.astype(jnp.float32),
+        ((0, nbl - n), (0, nbl - n)),
+        constant_values=_PAD,
+    )
+    return nf, n, nbl, ch, nchunks, nfp, obs, d0, tri
+
+
+def _forward(log_obs, delta0, log_tri, c_stay, c_sw, interpret):
+    nf, n, nbl, ch, nchunks, nfp, obs, d0, tri = _prep(log_obs, delta0, log_tri)
+    kern = partial(
+        _fwd_kernel, nf=nf, ch=ch, nbl=nbl, c_stay=float(c_stay), c_sw=float(c_sw)
+    )
+    hist, dfin = pl.pallas_call(
+        kern,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((ch, 2 * nbl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ch, 2 * nbl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nfp, 2 * nbl), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * nbl), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, 2 * nbl), jnp.float32)],
+        interpret=interpret,
+    )(obs, d0, tri)
+    return hist, dfin, n, nbl, ch, nchunks, nfp
 
 
 def viterbi_forward_pallas(
@@ -78,117 +226,12 @@ def viterbi_forward_pallas(
     log_obs [NF, 2n], delta0 [2n], log_tri [n, n] (f32). Returns
     (delta_f [2n], delta_hist [NF−1, 2n]) — bit-identical to the XLA
     lax.scan form in ops/yin.py (tested in interpret mode)."""
-    nf, two_n = log_obs.shape
-    n = two_n // 2
-    nbl = round_up_to_multiple(n, 128)
-    nfp = round_up_to_multiple(nf, 8)
-
-    def pad_state(v2n, fill):
-        return jnp.concatenate(
-            [
-                jnp.pad(v2n[..., :n], [(0, 0)] * (v2n.ndim - 1) + [(0, nbl - n)], constant_values=fill),
-                jnp.pad(v2n[..., n:], [(0, 0)] * (v2n.ndim - 1) + [(0, nbl - n)], constant_values=fill),
-            ],
-            axis=-1,
-        )
-
-    # obs pads 0.0 (keeps the −1e30 state pads from drifting toward −inf);
-    # delta0 / tri pads −1e30 (finite: −inf pads could make NaNs via adds)
-    obs = pad_state(log_obs.astype(jnp.float32), 0.0)
-    obs = jnp.pad(obs, ((0, nfp - nf), (0, 0)))
-    d0 = pad_state(delta0.astype(jnp.float32)[None, :], _PAD)
-    tri = jnp.pad(
-        log_tri.astype(jnp.float32),
-        ((0, nbl - n), (0, nbl - n)),
-        constant_values=_PAD,
+    nf = log_obs.shape[0]
+    hist, dfin, n, nbl, *_ = _forward(
+        log_obs, delta0, log_tri, c_stay, c_sw, interpret
     )
-    kern = partial(
-        _viterbi_kernel, nf=nf, nbl=nbl, c_stay=float(c_stay), c_sw=float(c_sw)
-    )
-    hist, dfin = pl.pallas_call(
-        kern,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((nfp, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbl, nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((nfp, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nfp, 2 * nbl), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * nbl), jnp.float32),
-        ],
-        interpret=interpret,
-    )(obs, d0, tri)
     unpad = lambda a: jnp.concatenate([a[..., :n], a[..., nbl : nbl + n]], axis=-1)
-    return unpad(dfin[0]), unpad(hist[: nf - 1])
-
-
-def _decode_kernel(
-    obs_ref,
-    d0_ref,
-    tri_ref,
-    trit_ref,
-    path_ref,
-    hist_ref,
-    *,
-    nf: int,
-    n_bins: int,
-    nbl: int,
-    c_stay: float,
-    c_sw: float,
-):
-    tri = tri_ref[...]
-
-    def fwd(t, d):
-        hist_ref[pl.ds(t, 1), :] = d
-        lo = obs_ref[pl.ds(t + 1, 1), :]
-        d_v = d[:, :nbl]
-        d_u = d[:, nbl:]
-        m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
-        m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
-        mt = jnp.transpose(jnp.concatenate([m_v, m_u], axis=1))
-        new_v = jnp.max(mt[:nbl] + tri, axis=0, keepdims=True)
-        new_u = jnp.max(mt[nbl:] + tri, axis=0, keepdims=True)
-        return jnp.concatenate([new_v, new_u], axis=1) + lo
-
-    dfin = jax.lax.fori_loop(0, nf - 1, fwd, d0_ref[...])  # [1, 2·nbl]
-
-    # argmax over the UNPADDED [2n] order: map lane → global state index
-    # (monotone in lane, so first-max-by-lane == jnp.argmax's first max;
-    # padded lanes carry −1e30-class scores and never win)
-    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * nbl), 1)
-    glob2 = jnp.where(lanes2 < nbl, lanes2, lanes2 - (nbl - n_bins))
-    mx = jnp.max(dfin)
-    last = jnp.min(jnp.where(dfin == mx, glob2, 2 * nbl)).astype(jnp.int32)
-    path_ref[pl.ds(nf - 1, 1), :] = jnp.full((1, 128), last, jnp.int32)
-
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
-
-    def bwd(i, nxt):
-        t = nf - 2 - i
-        d = hist_ref[pl.ds(t, 1), :]
-        d_v = d[:, :nbl]
-        d_u = d[:, nbl:]
-        voiced_t = nxt < n_bins
-        pos = jnp.where(voiced_t, nxt, nxt - n_bins)
-        a = jnp.where(voiced_t, c_stay, c_sw)
-        b = jnp.where(voiced_t, c_sw, c_stay)
-        m = jnp.maximum(d_v + a, d_u + b)
-        sel = (d_u + b) > (d_v + a)
-        col = trit_ref[pl.ds(pos, 1), :]  # log_tri[:, pos] as a row
-        score = m + col
-        smx = jnp.max(score)
-        base = jnp.min(jnp.where(score == smx, lanes, nbl))  # first max
-        sel_at = jnp.sum(jnp.where(lanes == base, sel.astype(jnp.int32), 0))
-        cur = (base + n_bins * sel_at).astype(jnp.int32)
-        path_ref[pl.ds(t, 1), :] = jnp.full((1, 128), cur, jnp.int32)
-        return cur
-
-    jax.lax.fori_loop(0, nf - 1, bwd, last)
+    return unpad(dfin[0]), unpad(hist[1:nf])
 
 
 def viterbi_decode_pallas(
@@ -199,58 +242,44 @@ def viterbi_decode_pallas(
     c_sw: float,
     interpret: bool = False,
 ):
-    """Fused forward + backtrace: the delta history lives in a VMEM
-    scratch and never reaches HBM; only the decoded path [NF] (int32
-    state indices, same semantics as the XLA back-scan in ops/yin.py)
-    is written out. Bit-identical decode (tested in interpret mode)."""
-    nf, two_n = log_obs.shape
-    n = two_n // 2
-    nbl = round_up_to_multiple(n, 128)
-    nfp = round_up_to_multiple(nf, 8)
-
-    def pad_state(v2n, fill):
-        return jnp.concatenate(
-            [
-                jnp.pad(v2n[..., :n], [(0, 0)] * (v2n.ndim - 1) + [(0, nbl - n)], constant_values=fill),
-                jnp.pad(v2n[..., n:], [(0, 0)] * (v2n.ndim - 1) + [(0, nbl - n)], constant_values=fill),
-            ],
-            axis=-1,
-        )
-
-    obs = pad_state(log_obs.astype(jnp.float32), 0.0)
-    obs = jnp.pad(obs, ((0, nfp - nf), (0, 0)))
-    d0 = pad_state(delta0.astype(jnp.float32)[None, :], _PAD)
-    tri = jnp.pad(
-        log_tri.astype(jnp.float32),
-        ((0, nbl - n), (0, nbl - n)),
-        constant_values=_PAD,
+    """Streaming forward + streaming reverse backtrace: returns the decoded
+    path [NF] (int32 state indices, same semantics — first-max argmax ties
+    included — as the XLA back-scan in ops/yin.py; interpret-mode tested)."""
+    nf = log_obs.shape[0]
+    hist, dfin, n, nbl, ch, nchunks, nfp = _forward(
+        log_obs, delta0, log_tri, c_stay, c_sw, interpret
     )
+    # last = argmax over the unpadded [2n] final delta (cheap in XLA)
+    dfin_u = jnp.concatenate([dfin[0, :n], dfin[0, nbl : nbl + n]])
+    last = jnp.argmax(dfin_u).astype(jnp.int32)
     trit = jnp.pad(
         log_tri.T.astype(jnp.float32),
         ((0, nbl - n), (0, nbl - n)),
         constant_values=_PAD,
     )
     kern = partial(
-        _decode_kernel,
+        _bwd_kernel,
         nf=nf,
+        ch=ch,
         n_bins=n,
         nbl=nbl,
+        nchunks=nchunks,
         c_stay=float(c_stay),
         c_sw=float(c_sw),
     )
-    path = pl.pallas_call(
+    rev = lambda i: (nchunks - 1 - i, 0)
+    pout = pl.pallas_call(
         kern,
-        grid=(1,),
+        grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((nfp, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, 2 * nbl), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((nbl, nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbl, nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((nfp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((ch, 128), rev, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nfp, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((nfp, 2 * nbl), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
         interpret=interpret,
-    )(obs, d0, tri, trit)
-    return path[:nf, 0]
-
+    )(hist, trit, last[None, None])
+    # pout[s] = path[s−1] for s = 1..nf−1; path[nf−1] = last
+    return jnp.concatenate([pout[1:nf, 0], last[None]])
