@@ -433,7 +433,25 @@ def pitch_ac(
     cand_score = jnp.where(is_max, sel_score, -jnp.inf)
 
     k = max_cand - 1  # one slot reserved for unvoiced
-    top_s, top_i = jax.lax.top_k(cand_score, k)  # [NF, k]
+    # Candidate selection WITHOUT lax.top_k: the slots are only ever
+    # consumed as one-hot masks (the readoffs below), so extract the k
+    # best maxima iteratively — k fused passes of (masked max, first-
+    # occurrence one-hot via min-of-iota) over the [NF, L] band — instead
+    # of paying a 119-wide per-row sort network. Pick order is identical
+    # to lax.top_k (value desc, index asc on ties; exhausted rows yield
+    # distinct ascending -inf picks, which the was_cand gate discards).
+    band_score = cand_score[..., lag_min:]  # maxima live in the band only
+    iot = jnp.arange(band_score.shape[-1])
+    excl = jnp.zeros(band_score.shape, dtype=bool)
+    oh_slots = []
+    for _ in range(k):
+        avail = jnp.where(excl, -jnp.inf, band_score)
+        mx = jnp.max(avail, axis=-1, keepdims=True)
+        tie = (avail == mx) & ~excl
+        idx = jnp.min(jnp.where(tie, iot, iot.shape[0]), axis=-1, keepdims=True)
+        oh = iot == idx
+        excl = excl | oh
+        oh_slots.append(oh)
 
     # sinc refinement (Praat NUMimproveMaximum): computed densely for every
     # lag (no data-dependent gathers — see _refine_sinc_dense), then read
@@ -469,7 +487,7 @@ def pitch_ac(
     # three [NF, k]-element gathers measured ~9 ms EACH on v5e (16×30 s)
     # — more than the whole FFT autocorrelation — while the fused one-hot
     # reduction over [NF, k, nl] is ~1 ms for all three quantities.
-    ohc = (top_i[..., None] == lags[lag_min:]).astype(r.dtype)  # [NF, k, nl_band]
+    ohc = jnp.stack(oh_slots, axis=-2).astype(r.dtype)  # [NF, k, nl_band]
     top_lag = jnp.sum(ohc * pos_l[..., None, :], axis=-1)
     val_sinc = jnp.sum(ohc * val_l[..., None, :], axis=-1)
     # Praat's reflection-around-1 of the refined strength
