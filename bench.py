@@ -246,7 +246,7 @@ def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _await_backend(max_tries: int = 5, wait_s: float = 120.0) -> None:
+def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> None:
     """Don't let a transient tunnel outage cost the round its artifact.
 
     The remote TPU backend occasionally fails to initialize (UNAVAILABLE)
@@ -258,6 +258,10 @@ def _await_backend(max_tries: int = 5, wait_s: float = 120.0) -> None:
     import os
     import subprocess
 
+    if max_tries is None:
+        # MODMFCC_BENCH_BACKEND_TRIES=12 ≈ 1 h of patience for a dead
+        # tunnel at round end (each try: ≤3 min probe + 2 min backoff)
+        max_tries = int(os.environ.get("MODMFCC_BENCH_BACKEND_TRIES", "5"))
     for attempt in range(max_tries):
         try:
             r = subprocess.run(

@@ -90,18 +90,20 @@ def _fwd_kernel(
 
     tri = tri_ref[...]
     base = i * ch
-    lo_s = jnp.maximum(0, 1 - base)  # step s=0 has no transition into it
-    hi_s = jnp.minimum(ch, nf - base)
 
-    def body(j, _):
-        d = dstate[...]
+    # static loop bounds (unrollable): every chunk runs ch steps; steps
+    # outside [1, nf) keep the carry via a cheap [1, 2·nbl] select (their
+    # inputs are finite pad rows, so the discarded relax cannot NaN)
+    def body(j, d):
+        s = base + j
         hist_ref[pl.ds(j, 1), :] = d  # hist[s] = delta at entry of step s
         lo = obs_ref[pl.ds(j, 1), :]
-        dstate[...] = _relax(d, tri, nbl, c_stay, c_sw) + lo
-        return 0
+        new = _relax(d, tri, nbl, c_stay, c_sw) + lo
+        return jnp.where((s >= 1) & (s < nf), new, d)
 
-    jax.lax.fori_loop(lo_s, hi_s, body, 0)
-    dfin_ref[...] = dstate[...]  # revisited block; final chunk's value wins
+    d_end = jax.lax.fori_loop(0, ch, body, dstate[...], unroll=8)
+    dstate[...] = d_end
+    dfin_ref[...] = d_end  # revisited block; final chunk's value wins
 
 
 def _bwd_kernel(
@@ -126,12 +128,14 @@ def _bwd_kernel(
         cur_s[0, 0] = last_ref[0, 0]
 
     base = (nchunks - 1 - i) * ch
-    lo_s = jnp.maximum(0, 1 - base)
-    hi_s = jnp.minimum(ch, nf - base)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
 
+    # static loop bounds (unrollable); steps outside [1, nf) keep the
+    # carry via a scalar select (their hist rows are finite, so the
+    # discarded computation is safe)
     def body(k, nxt):
-        j = hi_s - 1 - k  # walk the chunk's rows s = base+j in reverse
+        j = ch - 1 - k  # walk the chunk's rows s = base+j in reverse
+        s = base + j
         d = hist_ref[pl.ds(j, 1), :]  # δ_{s−1} = δ_t for t = s−1
         d_v = d[:, :nbl]
         d_u = d[:, nbl:]
@@ -146,12 +150,16 @@ def _bwd_kernel(
         smx = jnp.max(score)
         base_i = jnp.min(jnp.where(score == smx, lanes, nbl))  # first max
         sel_at = jnp.sum(jnp.where(lanes == base_i, sel.astype(jnp.int32), 0))
-        cur = (base_i + n_bins * sel_at).astype(jnp.int32)
+        cur = jnp.where(
+            (s >= 1) & (s < nf),
+            (base_i + n_bins * sel_at).astype(jnp.int32),
+            nxt,
+        )
         # pout[s] = decoded state at frame s−1 (same shift as hist)
         pout_ref[pl.ds(j, 1), :] = jnp.full((1, 128), cur, jnp.int32)
         return cur
 
-    cur_s[0, 0] = jax.lax.fori_loop(0, hi_s - lo_s, body, cur_s[0, 0])
+    cur_s[0, 0] = jax.lax.fori_loop(0, ch, body, cur_s[0, 0], unroll=8)
 
 
 def _pad_state(v2n, n, nbl, fill):
