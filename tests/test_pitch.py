@@ -380,3 +380,23 @@ def test_sinc_refine_pallas_matches_xla_banded():
         # kernel exactly (same kernel, extra grid dim)
         np.testing.assert_array_equal(np.asarray(pv[0]), np.asarray(pp))
         np.testing.assert_allclose(vv[1], 0.5 * vp, atol=1e-6)
+
+
+def test_pitch_ac_pallas_sinc_dispatch(speechlike, monkeypatch):
+    """End-to-end wiring check of sinc_engine='pallas' (interpret mode on
+    CPU): band readoff, padding, and slice bookkeeping must give the same
+    track as the XLA engine through the full public pitch_ac."""
+    from functools import partial as _p
+
+    import modulation_mfcc_tpu.pallas.sinc_refine as sr
+
+    monkeypatch.setattr(
+        sr, "refine_sinc_band_pallas", _p(sr.refine_sinc_band_pallas, interpret=True)
+    )
+    y, sr_hz = speechlike
+    xj = jnp.asarray(y, dtype=jnp.float32)
+    want = np.asarray(pitch_ac(xj, sr=float(sr_hz), sinc_engine="xla"))
+    got = np.asarray(pitch_ac(xj, sr=float(sr_hz), sinc_engine="pallas"))
+    np.testing.assert_array_equal(got > 0, want > 0)
+    v = want > 0
+    np.testing.assert_allclose(got[v], want[v], atol=0.05)

@@ -344,3 +344,26 @@ def test_viterbi_decode_pallas_bit_identical():
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_pyin_pallas_viterbi_dispatch(monkeypatch):
+    """End-to-end wiring check of viterbi_engine='pallas_full' and
+    'pallas' (interpret mode on CPU): identical decoded f0 through the
+    full public pyin_f0 vs the XLA engine."""
+    from functools import partial as _p
+
+    import modulation_mfcc_tpu.pallas.viterbi as pv
+
+    monkeypatch.setattr(
+        pv, "viterbi_decode_pallas", _p(pv.viterbi_decode_pallas, interpret=True)
+    )
+    monkeypatch.setattr(
+        pv, "viterbi_forward_pallas", _p(pv.viterbi_forward_pallas, interpret=True)
+    )
+    sig, sr = _speechlike_sig()
+    xj = jnp.asarray(sig, dtype=jnp.float32)
+    want = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="xla"))
+    got_full = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="pallas_full"))
+    got_fwd = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="pallas"))
+    np.testing.assert_array_equal(got_full, want)
+    np.testing.assert_array_equal(got_fwd, want)
