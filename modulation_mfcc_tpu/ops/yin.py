@@ -589,10 +589,20 @@ def pyin_f0(
     )
     use_pallas_fwd = fits and viterbi_engine == "pallas"
     if use_fused_vit:
-        # fused forward + backtrace: the delta history never leaves VMEM
-        from modulation_mfcc_tpu.pallas.viterbi import viterbi_decode_pallas
+        # fused forward + backtrace; 'auto' routes through custom_vmap so
+        # vmapped (batched) callers run the batch-per-step kernels instead
+        # of the default rule's sequential outer grid
+        from modulation_mfcc_tpu.pallas.viterbi import (
+            viterbi_decode_auto,
+            viterbi_decode_pallas,
+        )
 
-        path = viterbi_decode_pallas(
+        decode = (
+            viterbi_decode_auto
+            if viterbi_engine == "auto"
+            else viterbi_decode_pallas
+        )
+        path = decode(
             log_obs,
             delta0,
             log_tri,

@@ -40,7 +40,7 @@ produced it; the wrappers slice the shift away.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -51,7 +51,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 
-__all__ = ["viterbi_forward_pallas", "viterbi_decode_pallas"]
+__all__ = [
+    "viterbi_forward_pallas",
+    "viterbi_decode_pallas",
+    "viterbi_decode_batched",
+    "viterbi_decode_auto",
+]
 
 _PAD = -1e30
 
@@ -291,3 +296,241 @@ def viterbi_decode_pallas(
     )(hist, trit, last[None, None])
     # pout[s] = path[s−1] for s = 1..nf−1; path[nf−1] = last
     return jnp.concatenate([pout[1:nf, 0], last[None]])
+
+
+# ---------------------------------------------------------------------------
+# Batched variant: whole batch per step (one grid, fixed costs amortized)
+# ---------------------------------------------------------------------------
+#
+# Under jax.vmap a pallas_call is batched by PREPENDING a grid axis, which
+# runs the per-signal kernel B times SEQUENTIALLY — the per-step fixed costs
+# (vector relayout, loop bookkeeping, dynamic addressing) replicate B×. The
+# batched kernels below instead carry the state as [B, 1, 2·nbl] and relax
+# all signals per step through one [B, nbl, nbl] broadcast-add-max, so the
+# fixed costs are paid once per frame. viterbi_decode_auto wires this in
+# through jax.custom_batching.custom_vmap: unbatched calls use the
+# per-signal kernels, vmapped calls the batched ones — numerics identical
+# (the same adds and order-independent maxes).
+
+
+def _fwd_kernel_b(
+    obs_ref, d0_ref, tri_ref, hist_ref, dfin_ref, dstate, *, nf, ch, nbl, c_stay, c_sw
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dstate[...] = d0_ref[...]
+
+    tri = tri_ref[...]  # [nbl, nbl]
+    base = i * ch
+
+    def body(j, d):  # d [B, 1, 2·nbl]
+        s = base + j
+        hist_ref[:, pl.ds(j, 1), :] = d
+        lo = obs_ref[:, pl.ds(j, 1), :]
+        d_v = d[..., :nbl]
+        d_u = d[..., nbl:]
+        m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)  # [B, 1, nbl]
+        m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
+        new_v = jnp.max(jnp.swapaxes(m_v, 1, 2) + tri[None], axis=1, keepdims=True)
+        new_u = jnp.max(jnp.swapaxes(m_u, 1, 2) + tri[None], axis=1, keepdims=True)
+        new = jnp.concatenate([new_v, new_u], axis=-1) + lo
+        return jnp.where((s >= 1) & (s < nf), new, d)
+
+    d_end = jax.lax.fori_loop(0, ch, body, dstate[...], unroll=8)
+    dstate[...] = d_end
+    dfin_ref[...] = d_end
+
+
+def _bwd_kernel_b(
+    hist_ref,
+    trit_ref,
+    last_ref,
+    pout_ref,
+    cur_s,
+    *,
+    nf,
+    ch,
+    n_bins,
+    nbl,
+    nb,
+    nchunks,
+    c_stay,
+    c_sw,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for b in range(nb):
+            cur_s[b, 0] = last_ref[b, 0]
+
+    base = (nchunks - 1 - i) * ch
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
+
+    def body(k, curs):  # curs [nb] int32 vector carried as a tuple-free array
+        j = ch - 1 - k
+        s = base + j
+        d = hist_ref[:, pl.ds(j, 1), :]  # [B, 1, 2·nbl]
+        outs = []
+        for b in range(nb):
+            nxt = curs[b]
+            voiced_t = nxt < n_bins
+            pos = jnp.where(voiced_t, nxt, nxt - n_bins)
+            a = jnp.where(voiced_t, c_stay, c_sw)
+            bb = jnp.where(voiced_t, c_sw, c_stay)
+            d_v = d[b, :, :nbl]
+            d_u = d[b, :, nbl:]
+            m = jnp.maximum(d_v + a, d_u + bb)  # [1, nbl]
+            sel = (d_u + bb) > (d_v + a)
+            col = trit_ref[pl.ds(pos, 1), :]
+            score = m + col
+            smx = jnp.max(score)
+            base_i = jnp.min(jnp.where(score == smx, lanes, nbl))
+            sel_at = jnp.sum(jnp.where(lanes == base_i, sel.astype(jnp.int32), 0))
+            cur = jnp.where(
+                (s >= 1) & (s < nf),
+                (base_i + n_bins * sel_at).astype(jnp.int32),
+                nxt,
+            )
+            pout_ref[b, pl.ds(j, 1), :] = jnp.full((1, 128), cur, jnp.int32)
+            outs.append(cur)
+        return jnp.stack(outs)
+
+    cur0 = jnp.stack([cur_s[b, 0] for b in range(nb)])
+    curf = jax.lax.fori_loop(0, ch, body, cur0, unroll=8)
+    for b in range(nb):
+        cur_s[b, 0] = curf[b]
+
+
+def viterbi_decode_batched(
+    log_obs: jnp.ndarray,
+    delta0: jnp.ndarray,
+    log_tri: jnp.ndarray,
+    c_stay: float,
+    c_sw: float,
+    interpret: bool = False,
+):
+    """Batched fused decode: log_obs [B, NF, 2n], delta0 [B, 2n] → path
+    [B, NF]. Same decode semantics as viterbi_decode_pallas per row."""
+    nb, nf, two_n = log_obs.shape
+    n = two_n // 2
+    nbl = round_up_to_multiple(n, 128)
+    # the [B, nbl, nbl] relax intermediate is the VMEM budget driver
+    ch = 128 if nb * nbl * nbl * 4 <= 3_000_000 else 64
+    nchunks = max(1, -(-nf // ch))
+    nfp = nchunks * ch
+    obs = _pad_state(log_obs.astype(jnp.float32), n, nbl, 0.0)
+    obs = jnp.pad(obs, ((0, 0), (0, nfp - nf), (0, 0)))
+    d0 = _pad_state(delta0.astype(jnp.float32)[:, None, :], n, nbl, _PAD)
+    tri = jnp.pad(
+        log_tri.astype(jnp.float32),
+        ((0, nbl - n), (0, nbl - n)),
+        constant_values=_PAD,
+    )
+    kern = partial(
+        _fwd_kernel_b, nf=nf, ch=ch, nbl=nbl, c_stay=float(c_stay), c_sw=float(c_sw)
+    )
+    hist, dfin = pl.pallas_call(
+        kern,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((nb, ch, 2 * nbl), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, 2 * nbl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb, ch, 2 * nbl), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, 2 * nbl), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nfp, 2 * nbl), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, 2 * nbl), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nb, 1, 2 * nbl), jnp.float32)],
+        interpret=interpret,
+    )(obs, d0, tri)
+    dfin_u = jnp.concatenate([dfin[:, 0, :n], dfin[:, 0, nbl : nbl + n]], axis=-1)
+    last = jnp.argmax(dfin_u, axis=-1).astype(jnp.int32)  # [B]
+    trit = jnp.pad(
+        log_tri.T.astype(jnp.float32),
+        ((0, nbl - n), (0, nbl - n)),
+        constant_values=_PAD,
+    )
+    kern_b = partial(
+        _bwd_kernel_b,
+        nf=nf,
+        ch=ch,
+        n_bins=n,
+        nbl=nbl,
+        nb=nb,
+        nchunks=nchunks,
+        c_stay=float(c_stay),
+        c_sw=float(c_sw),
+    )
+    rev3 = lambda i: (0, nchunks - 1 - i, 0)
+    pout = pl.pallas_call(
+        kern_b,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((nb, ch, 2 * nbl), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbl, nbl), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, ch, 128), rev3, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, nfp, 128), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((nb, 1), jnp.int32)],
+        interpret=interpret,
+    )(hist, trit, last[:, None])
+    return jnp.concatenate([pout[:, 1:nf, 0], last[:, None]], axis=-1)
+
+
+@lru_cache(maxsize=32)
+def _decode_custom_vmap(c_stay: float, c_sw: float):
+    """custom_vmap wrapper: per-signal kernels when called unbatched,
+    the batched kernels under jax.vmap (instead of the default rule's
+    sequential outer grid)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def decode(log_obs, delta0, log_tri):
+        return viterbi_decode_pallas(log_obs, delta0, log_tri, c_stay, c_sw)
+
+    @decode.def_vmap
+    def _rule(axis_size, in_batched, log_obs, delta0, log_tri):
+        ob, db, tb = in_batched
+        if not ob or tb:  # unexpected batching pattern: serial fallback
+            bc = lambda x, bt: x if bt else jnp.broadcast_to(x, (axis_size, *x.shape))
+            out = jax.lax.map(
+                lambda args: viterbi_decode_pallas(*args, c_stay, c_sw),
+                (bc(log_obs, ob), bc(delta0, db), bc(log_tri, tb)),
+            )
+            return out, True
+        if not db:
+            delta0 = jnp.broadcast_to(delta0, (axis_size, *delta0.shape))
+        # the [B, nbl, nbl] relax tile must fit VMEM; split big batches
+        n = log_obs.shape[-1] // 2
+        nbl = round_up_to_multiple(n, 128)
+        sub = max(1, 6_000_000 // max(1, nbl * nbl * 4))
+        if axis_size <= sub:
+            return viterbi_decode_batched(log_obs, delta0, log_tri, c_stay, c_sw), True
+        pads = (-axis_size) % sub
+        obs_p = jnp.pad(log_obs, ((0, pads), (0, 0), (0, 0)))
+        d0_p = jnp.pad(delta0, ((0, pads), (0, 0)))
+        out = jax.lax.map(
+            lambda args: viterbi_decode_batched(args[0], args[1], log_tri, c_stay, c_sw),
+            (
+                obs_p.reshape(-1, sub, *log_obs.shape[1:]),
+                d0_p.reshape(-1, sub, delta0.shape[-1]),
+            ),
+        )
+        return out.reshape(-1, log_obs.shape[1])[:axis_size], True
+
+    return decode
+
+
+def viterbi_decode_auto(log_obs, delta0, log_tri, c_stay: float, c_sw: float):
+    """Decode via the per-signal kernels, upgrading to the batched kernels
+    under jax.vmap (custom_vmap). Identical decode either way."""
+    return _decode_custom_vmap(float(c_stay), float(c_sw))(log_obs, delta0, log_tri)

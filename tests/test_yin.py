@@ -367,3 +367,52 @@ def test_pyin_pallas_viterbi_dispatch(monkeypatch):
     got_fwd = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="pallas"))
     np.testing.assert_array_equal(got_full, want)
     np.testing.assert_array_equal(got_fwd, want)
+
+
+def test_viterbi_decode_batched_bit_identical(monkeypatch):
+    """Batch-per-step decode kernels and the custom_vmap 'auto' route must
+    decode identical paths to the per-signal decode (interpret mode)."""
+    from functools import partial as _p
+
+    import jax
+
+    import modulation_mfcc_tpu.pallas.viterbi as pv
+
+    monkeypatch.setattr(
+        pv, "viterbi_decode_pallas", _p(pv.viterbi_decode_pallas, interpret=True)
+    )
+    monkeypatch.setattr(
+        pv, "viterbi_decode_batched", _p(pv.viterbi_decode_batched, interpret=True)
+    )
+    pv._decode_custom_vmap.cache_clear()  # rebind closures to the patches
+    rng = np.random.default_rng(17)
+    for n_bins, nf, nb in [(130, 40, 3), (40, 300, 2)]:
+        c_stay, c_sw = float(np.log(0.99)), float(np.log(0.01))
+        log_obs = jnp.asarray(
+            np.log(rng.random((nb, nf, 2 * n_bins)) + 1e-12).astype(np.float32)
+        )
+        delta0 = jnp.asarray(
+            np.log(rng.random((nb, 2 * n_bins)) + 1e-12).astype(np.float32)
+        )
+        tri = rng.random((n_bins, n_bins))
+        log_tri = jnp.asarray(np.log(tri / tri.sum(0) + 1e-30).astype(np.float32))
+        want = np.stack(
+            [
+                np.asarray(
+                    pv.viterbi_decode_pallas(log_obs[b], delta0[b], log_tri, c_stay, c_sw)
+                )
+                for b in range(nb)
+            ]
+        )
+        got = np.asarray(
+            pv.viterbi_decode_batched(log_obs, delta0, log_tri, c_stay, c_sw)
+        )
+        np.testing.assert_array_equal(got, want)
+        # the custom_vmap route: vmapped call must take the batched kernel
+        got_auto = np.asarray(
+            jax.vmap(
+                lambda o, d: pv.viterbi_decode_auto(o, d, log_tri, c_stay, c_sw)
+            )(log_obs, delta0)
+        )
+        np.testing.assert_array_equal(got_auto, want)
+    pv._decode_custom_vmap.cache_clear()  # drop entries bound to the patches
