@@ -95,6 +95,20 @@ def _tracker_throughput(batch: int, seconds: float, n_super: int, safe: bool = F
     xs = [gen(k) for k in keys]
 
     kw = {"sinc_engine": "xla"} if safe else {}  # fallback if Pallas rejects
+    if not safe:
+        # cross-engine spot check: the Pallas path must agree numerically
+        # on this runtime before its timing is trusted (raise → the
+        # safe=True retry picks the XLA engines)
+        import numpy as _np
+
+        yq = jax.random.normal(jax.random.PRNGKey(9), (2, 30_000), jnp.float32)
+        fa = _np.asarray(jax.vmap(lambda s: pitch_ac(s, sr=float(sr)))(yq))
+        fx = _np.asarray(
+            jax.vmap(lambda s: pitch_ac(s, sr=float(sr), sinc_engine="xla"))(yq)
+        )
+        va = (fa > 0) == (fx > 0)
+        if va.mean() < 0.995 or _np.nanmax(_np.abs(_np.where(va & (fx > 0), fa - fx, 0.0))) > 0.5:
+            raise RuntimeError("pallas sinc engine disagrees with xla on-device")
 
     def one(y):
         f0 = pitch_ac(y, sr=float(sr), **kw)
@@ -127,6 +141,18 @@ def _pyin_throughput(
     xs = [gen(k) for k in keys]
 
     kw = {"viterbi_engine": "xla"} if safe else {}  # fallback if Pallas rejects
+    if not safe:
+        # decode is bit-identical by construction — require exact equality
+        # on-device before trusting the Pallas timing
+        import numpy as _np
+
+        yq = jax.random.normal(jax.random.PRNGKey(9), (2, 30_000), jnp.float32)
+        fa = _np.asarray(jax.vmap(lambda s: pyin_f0(s, sr=float(sr)))(yq))
+        fx = _np.asarray(
+            jax.vmap(lambda s: pyin_f0(s, sr=float(sr), viterbi_engine="xla"))(yq)
+        )
+        if not _np.array_equal(fa, fx):
+            raise RuntimeError("pallas viterbi engine disagrees with xla on-device")
 
     @jax.jit
     def many(stack):
