@@ -52,11 +52,16 @@ def burg_lpc(frames: jnp.ndarray, order: int) -> jnp.ndarray:
     return a
 
 
-def poly_roots_dk(coeffs: jnp.ndarray, iters: int = 60) -> jnp.ndarray:
+def poly_roots_dk(coeffs: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
     """Roots of monic polynomials z^p + c_1 z^(p-1) + ... + c_p, batched.
 
     coeffs: [..., p] (highest-degree-first after the implicit leading 1).
     Durand–Kerner with standard (0.4+0.9i)^k initialization; complex64.
+
+    iters=40: measured convergence on Burg coefficient sets (speechlike,
+    noise, and tonal signals; orders 8/10/16) — downstream formant
+    frequencies match an iters=120 run to ≤0.001 Hz at 40 iterations,
+    while 30 leaves Hz-level tails on tonal frames (2026-08-18 sweep).
     """
     p = coeffs.shape[-1]
     c = coeffs.astype(jnp.complex64)
