@@ -369,7 +369,7 @@ def _bwd_kernel_b(
     base = (nchunks - 1 - i) * ch
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, nbl), 1)
 
-    def body(k, curs):  # curs [nb] int32 vector carried as a tuple-free array
+    def body(k, curs):  # curs: tuple of nb int32 scalars (no 1-D vectors)
         j = ch - 1 - k
         s = base + j
         d = hist_ref[:, pl.ds(j, 1), :]  # [B, 1, 2·nbl]
@@ -396,9 +396,9 @@ def _bwd_kernel_b(
             )
             pout_ref[b, pl.ds(j, 1), :] = jnp.full((1, 128), cur, jnp.int32)
             outs.append(cur)
-        return jnp.stack(outs)
+        return tuple(outs)
 
-    cur0 = jnp.stack([cur_s[b, 0] for b in range(nb)])
+    cur0 = tuple(cur_s[b, 0] for b in range(nb))
     curf = jax.lax.fori_loop(0, ch, body, cur0, unroll=8)
     for b in range(nb):
         cur_s[b, 0] = curf[b]
