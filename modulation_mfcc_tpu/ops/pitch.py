@@ -114,15 +114,21 @@ def _sinc_weights(offsets: np.ndarray, depth: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _sinc_band_matrix(grid: int, depth: int, nl: int) -> np.ndarray:
-    """Banded-GEMM operator [nl+S-1, grid·nl] for _refine_sinc_dense:
-    column g·nl+l carries the sinc weight column w[:, g] on input rows
-    l … l+S-1 (host-side f64 → contiguous band placement)."""
+def _sinc_band_matrix(
+    grid: int, depth: int, nl: int, col_stride: int | None = None, rows: int | None = None
+) -> np.ndarray:
+    """Banded-GEMM operator [rows or nl+S-1, grid·col_stride] for
+    _refine_sinc_dense: column g·col_stride+l carries the sinc weight
+    column w[:, g] on input rows l … l+S-1 (host-side f64 → contiguous
+    band placement). ``col_stride`` defaults to nl (dense packing); the
+    Pallas kernel passes a 128-multiple so each offset plane is one
+    aligned lane slice, and ``rows`` a 128-multiple row count."""
     w = _sinc_weights(np.linspace(-1.0, 1.0, grid), depth)  # [S, G]
     s = w.shape[0]
-    band = np.zeros((nl + s - 1, grid * nl), np.float64)
+    cs = nl if col_stride is None else col_stride
+    band = np.zeros((nl + s - 1 if rows is None else rows, grid * cs), np.float64)
     for l in range(nl):
-        band[l : l + s, np.arange(grid) * nl + l] = w
+        band[l : l + s, np.arange(grid) * cs + l] = w
     return band
 
 

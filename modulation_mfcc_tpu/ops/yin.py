@@ -328,7 +328,9 @@ def pyin_f0(
     XLA lax.scan elsewhere or when the trellis exceeds VMEM),
     'pallas_full' (force fused), 'pallas' (Pallas forward + XLA
     backtrace), or 'xla'. The decoded path is bit-identical across all
-    engines (interpret-mode tests).
+    engines (interpret-mode tests). Explicit Pallas engines still fall
+    back to the XLA scan when the kernels cannot apply (single-frame
+    tracks, non-f32 trellis, nf > 200k) — same numbers either way.
     """
     if win_length is None:
         win_length = frame_length // 2

@@ -44,22 +44,16 @@ from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 __all__ = ["refine_sinc_band_pallas"]
 
 
-@lru_cache(maxsize=8)
 def _band_weight_planes(grid: int, depth: int, nl: int, nlp: int, kp: int):
-    """Banded-GEMM operator [kp, grid·nlp] with 128-aligned offset planes:
-    column g·nlp + l carries the sinc weight column w[:, g] on rows
-    l … l+S-1 (host-side float64 design, f32 storage). Identical column
-    content to ops/pitch.py:_sinc_band_matrix — only the column stride
-    (nlp, a 128 multiple) differs, so each offset plane g is one aligned
-    lane slice of the dot output."""
-    from modulation_mfcc_tpu.ops.pitch import _sinc_weights
+    """The shared banded-GEMM operator (ops/pitch.py:_sinc_band_matrix)
+    with 128-aligned offset planes: column stride nlp (a 128 multiple) so
+    each offset plane g is one aligned lane slice of the dot output, and
+    kp rows (a 128 multiple) for the padded contraction."""
+    from modulation_mfcc_tpu.ops.pitch import _sinc_band_matrix
 
-    w = _sinc_weights(np.linspace(-1.0, 1.0, grid), depth)  # [S, G]
-    s = w.shape[0]
-    band = np.zeros((kp, grid * nlp), np.float64)
-    for l in range(nl):
-        band[l : l + s, np.arange(grid) * nlp + l] = w
-    return band.astype(np.float32)
+    return _sinc_band_matrix(grid, depth, nl, col_stride=nlp, rows=kp).astype(
+        np.float32
+    )
 
 
 def _refine_kernel(

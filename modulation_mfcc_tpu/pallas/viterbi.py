@@ -417,8 +417,9 @@ def viterbi_decode_batched(
     nb, nf, two_n = log_obs.shape
     n = two_n // 2
     nbl = round_up_to_multiple(n, 128)
-    # the [B, nbl, nbl] relax intermediate is the VMEM budget driver
-    ch = 128 if nb * nbl * nbl * 4 <= 3_000_000 else 64
+    # the (up to two live) [B, nbl, nbl] relax intermediates are the VMEM
+    # budget drivers; the chunk length only sizes the streamed blocks
+    ch = 128 if 2 * nb * nbl * nbl * 4 <= 3_000_000 else 64
     nchunks = max(1, -(-nf // ch))
     nfp = nchunks * ch
     obs = _pad_state(log_obs.astype(jnp.float32), n, nbl, 0.0)
@@ -509,10 +510,13 @@ def _decode_custom_vmap(c_stay: float, c_sw: float):
             return out, True
         if not db:
             delta0 = jnp.broadcast_to(delta0, (axis_size, *delta0.shape))
-        # the [B, nbl, nbl] relax tile must fit VMEM; split big batches
+        # VMEM budget: the forward body holds up to TWO [B, nbl, nbl]
+        # relax intermediates (m_vᵀ+tri and m_uᵀ+tri) plus double-buffered
+        # obs/hist chunks — cap the sub-batch so 2·B·nbl²·f32 ≤ 6 MB
+        # (B ≤ 5 at the 360-bin default), splitting larger batches
         n = log_obs.shape[-1] // 2
         nbl = round_up_to_multiple(n, 128)
-        sub = max(1, 6_000_000 // max(1, nbl * nbl * 4))
+        sub = max(1, 3_000_000 // max(1, nbl * nbl * 4))
         if axis_size <= sub:
             return viterbi_decode_batched(log_obs, delta0, log_tri, c_stay, c_sw), True
         pads = (-axis_size) % sub
