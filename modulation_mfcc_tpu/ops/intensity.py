@@ -124,8 +124,37 @@ def intensity_db(
         # benched/reference config has integer ts·sr and stays on the
         # fast path).
         xpad = jnp.pad(x, (hws, hws))
+        # Non-integer ts·sr grids are still EXACTLY q-interleaved-uniform
+        # when ts·sr is rational with a small denominator (the mid-sample
+        # floor argument advances by the integer p every q frames), e.g.
+        # Praat's auto step at min_pitch=75 @10 kHz: ts·sr = 320/3 → three
+        # hop-320 grids. Frame each group with strided slices and
+        # interleave the rows — element gathers at [NF, nw] scale cost
+        # ~9 ms-class on v5e (CLAUDE.md r2), the slice form is ~free.
+        q = None
+        if not uniform:
+            for cand in range(2, 17):
+                if nf <= cand:
+                    break
+                step = int(mids[cand] - mids[0])
+                if np.all(mids[cand:] - mids[:-cand] == step):
+                    q = cand
+                    break
         if uniform:
             frames = frame_by_slices(xpad, int(starts[0]) + hws, nf, nw, hop)
+        elif q is not None:
+            hopq = int(mids[q] - mids[0])
+            groups = []
+            for g in range(q):
+                nfg = (nf - g + q - 1) // q  # frames g, g+q, g+2q, …
+                groups.append(
+                    frame_by_slices(xpad, int(starts[g]) + hws, nfg, nw, hopq)
+                )
+            m = groups[0].shape[0]  # group 0 is the largest
+            groups = [
+                jnp.pad(gr, ((0, m - gr.shape[0]), (0, 0))) for gr in groups
+            ]
+            frames = jnp.stack(groups, axis=1).reshape(m * q, nw)[:nf]
         else:
             frames = xpad[
                 jnp.asarray(starts[:, None] + np.arange(nw)[None, :] + hws)

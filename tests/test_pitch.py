@@ -400,3 +400,33 @@ def test_pitch_ac_pallas_sinc_dispatch(speechlike, monkeypatch):
     np.testing.assert_array_equal(got > 0, want > 0)
     v = want > 0
     np.testing.assert_allclose(got[v], want[v], atol=0.05)
+
+
+def test_intensity_interleaved_grid_matches_gather():
+    """Non-integer ts·sr grids (Praat auto step at min_pitch=75 @10 kHz:
+    ts·sr = 320/3) are framed as q interleaved uniform-hop slice groups —
+    must equal the direct nearest-index gather formulation frame-exactly."""
+    rng = np.random.default_rng(0)
+    sr = 10_000
+    x = rng.standard_normal(3 * sr).astype(np.float32)
+    from modulation_mfcc_tpu.ops.intensity import _geometry, _kaiser20
+
+    db = np.asarray(intensity_db(jnp.asarray(x), sr=float(sr), min_pitch=75.0))
+    hws, _, nf, ts, ft = _geometry(len(x), sr, 75.0, 0.0)
+    nw = 2 * hws + 1
+    w = _kaiser20(hws, 3.2 / 75.0 * sr)
+    wj = w / w.sum()
+    mids = np.floor(
+        (ft + np.arange(nf) * ts - 0.5 / sr) * sr + 0.5 + 1e-6
+    ).astype(np.int64)
+    starts = mids - hws
+    assert not np.all(mids == mids[0] + np.arange(nf) * round(ts * sr))  # non-uniform
+    xp = np.pad(x.astype(np.float64), (hws, hws))
+    fr = xp[starts[:, None] + np.arange(nw)[None, :] + hws]
+    idx = starts[:, None] + np.arange(nw)
+    valid = ((idx >= 0) & (idx < len(x))).astype(np.float64)
+    mean = fr.sum(-1, keepdims=True) / valid.sum(-1, keepdims=True)
+    d = (fr - mean) * valid
+    ms = (d * d) @ wj / (valid @ wj)
+    want = np.where(ms < 1e-30, -300.0, 10 * np.log10(np.maximum(ms, 1e-300) / 4e-10))
+    np.testing.assert_allclose(db, want, atol=1e-3)
