@@ -67,7 +67,9 @@ def _relax(d, tri, nbl, c_stay, c_sw):
     d_u = d[:, nbl:]
     m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)
     m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
-    mt = jnp.transpose(jnp.concatenate([m_v, m_u], axis=1))  # [2·nbl, 1]
+    # [1, 2·nbl] → [2·nbl, 1]: element order is unchanged, so this is a
+    # reshape, not a transpose — the better-supported Mosaic relayout
+    mt = jnp.concatenate([m_v, m_u], axis=1).reshape(2 * nbl, 1)
     new_v = jnp.max(mt[:nbl] + tri, axis=0, keepdims=True)
     new_u = jnp.max(mt[nbl:] + tri, axis=0, keepdims=True)
     return jnp.concatenate([new_v, new_u], axis=1)
@@ -333,8 +335,15 @@ def _fwd_kernel_b(
         d_u = d[..., nbl:]
         m_v = jnp.maximum(d_v + c_stay, d_u + c_sw)  # [B, 1, nbl]
         m_u = jnp.maximum(d_v + c_sw, d_u + c_stay)
-        new_v = jnp.max(jnp.swapaxes(m_v, 1, 2) + tri[None], axis=1, keepdims=True)
-        new_u = jnp.max(jnp.swapaxes(m_u, 1, 2) + tri[None], axis=1, keepdims=True)
+        # [B, 1, nbl] → [B, nbl, 1] keeps element order: reshape, not
+        # transpose (the better-supported Mosaic relayout)
+        nb = m_v.shape[0]
+        new_v = jnp.max(
+            m_v.reshape(nb, nbl, 1) + tri[None], axis=1, keepdims=True
+        )
+        new_u = jnp.max(
+            m_u.reshape(nb, nbl, 1) + tri[None], axis=1, keepdims=True
+        )
         new = jnp.concatenate([new_v, new_u], axis=-1) + lo
         return jnp.where((s >= 1) & (s < nf), new, d)
 
