@@ -296,7 +296,7 @@ def test_viterbi_decode_pallas_bit_identical():
     from modulation_mfcc_tpu.pallas.viterbi import viterbi_decode_pallas
 
     rng = np.random.default_rng(13)
-    for n_bins, nf in [(360, 40), (130, 7), (40, 600)]:
+    for n_bins, nf in [(360, 40), (130, 7), (40, 600), (40, 512)]:
         c_stay, c_sw = float(np.log(0.99)), float(np.log(0.01))
         log_obs = jnp.asarray(
             np.log(rng.random((nf, 2 * n_bins)) + 1e-12).astype(np.float32)
