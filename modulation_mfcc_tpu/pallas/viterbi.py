@@ -526,6 +526,9 @@ def _decode_custom_vmap(c_stay: float, c_sw: float):
         n = log_obs.shape[-1] // 2
         nbl = round_up_to_multiple(n, 128)
         sub = max(1, 3_000_000 // max(1, nbl * nbl * 4))
+        # …and the HBM history (obs + hist ≈ 2·B·NF·2nbl·f32) ≤ ~2 GB
+        hist_bytes = log_obs.shape[-2] * 2 * nbl * 4 * 2
+        sub = max(1, min(sub, 2_000_000_000 // max(1, hist_bytes)))
         if axis_size <= sub:
             return viterbi_decode_batched(log_obs, delta0, log_tri, c_stay, c_sw), True
         pads = (-axis_size) % sub
