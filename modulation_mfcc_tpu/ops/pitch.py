@@ -474,6 +474,12 @@ def pitch_ac(
     # in VMEM (pallas/sinc_refine.py — the XLA banded GEMM materializes
     # ~874 MB at 32×30 s scale and measured 16.6 ms on ~3 ms of MXU work);
     # elsewhere (and for f64) the XLA form computes the identical band.
+    # MODMFCC_SINC_ENGINE overrides the 'auto' default (trace-time read) —
+    # the production escape hatch if a runtime's Mosaic rejects the kernel.
+    import os
+
+    if sinc_engine == "auto":
+        sinc_engine = os.environ.get("MODMFCC_SINC_ENGINE", "auto")
     use_pallas_sinc = sinc_engine == "pallas" or (
         sinc_engine == "auto"
         and jax.default_backend() == "tpu"

@@ -584,6 +584,13 @@ def pyin_f0(
     # backtrace below decodes the same path either way.
     # The kernels stream frame chunks through VMEM, so the only size limit
     # is the HBM delta-history buffer (~[NF, 2·nbl]·f32) — cap generously.
+    # MODMFCC_VITERBI_ENGINE overrides the 'auto' default (read at trace
+    # time) — the production escape hatch if a runtime's Mosaic rejects
+    # the kernels.
+    import os
+
+    if viterbi_engine == "auto":
+        viterbi_engine = os.environ.get("MODMFCC_VITERBI_ENGINE", "auto")
     fits = nf > 1 and cm.dtype == jnp.float32 and nf <= 200_000
     use_fused_vit = fits and (
         viterbi_engine == "pallas_full"
