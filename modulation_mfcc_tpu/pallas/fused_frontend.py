@@ -62,6 +62,7 @@ MXU-shape notes (measured on v5e):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -216,7 +217,10 @@ def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
     n_shift = len(widths)
     # stage the pipelined blocks into one contiguous scratch so the shifted
     # slices below share a base layout (Mosaic cannot concat views of a
-    # concat with mismatched sublane offsets)
+    # concat with mismatched sublane offsets); the scratch dtype matches the
+    # transport dtype (bf16 in the corpus mode — the f32 round-trip it
+    # replaces was exact on bf16 values, so the numbers are bit-identical
+    # and the staging copy + frame concat halve)
     rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
     rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
     if frame_mode == "concat":
@@ -248,6 +252,47 @@ def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
     bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
 
 
+def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
+                 rows_vmem, reim_vmem, *, blkf: int, nj: int, bins_pad: int,
+                 widths: tuple, nf: int, algorithm: str, out_dtype):
+    """Two-stage software-pipelined frontend step (grid j ∈ [0, nj]):
+
+      stage A (j < nj):  assemble frames for block j → windowed-DFT matmul
+                         into the parity-(j%2) half of the reim scratch;
+      stage B (j > 0):   power + mel + write for block j−1 from the other
+                         scratch half.
+
+    Splitting the serial VPU→MXU→VPU→MXU chain of `_kernel` across two grid
+    steps removes the in-step data dependency between the DFT matmul and the
+    power/mel stage: block j's DFT (MXU) and block j−1's power (VPU) touch
+    disjoint scratch halves, so the scheduler is free to overlap them. The
+    emitted numbers are the exact same ops in the exact same order per block
+    — bit-identical to `_kernel` (tests pin this in interpret mode)."""
+    j = pl.program_id(1)
+
+    # stage B first in program order: it reads the parity the previous step
+    # wrote, while stage A below overwrites the other half
+    @pl.when(j > 0)
+    def _emit():
+        reim = reim_vmem[(j - 1) % 2]
+        re = reim[:, :bins_pad]
+        im = reim[:, bins_pad:]
+        p = re * re + im * im
+        mel = _mxu(p, mel_ref, algorithm)
+        out_ref[0] = mel.astype(out_dtype)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + (j - 1) * blkf
+        mel_valid = jnp.where(rowid < nf, mel, 0.0)
+        bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+    @pl.when(j < nj)
+    def _assemble():
+        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
+        frames = jnp.concatenate(parts, axis=-1)
+        reim_vmem[j % 2] = _mxu(frames, wri_ref, algorithm)
+
+
 def fused_mel_frontend(
     audio: jnp.ndarray,
     *,
@@ -264,6 +309,7 @@ def fused_mel_frontend(
     frame_mode: str = "concat",
     algorithm: str | None = None,
     fold: bool | None = None,
+    pipeline: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mel [B, NF_pad, n_mels], block_maxes [B, nj, 8, 128]) for audio [B, T].
 
@@ -282,6 +328,12 @@ def fused_mel_frontend(
     16 kHz f32 24.2→24.6 ms, 10 kHz f32 16.7→20.4 ms per 128×30 s batch),
     so it defaults OFF; the path is kept tested for geometries/hardware
     where the MXU:bandwidth ratio differs.
+
+    ``pipeline`` selects the two-stage software-pipelined kernel
+    (:func:`_kernel_pipe`): block j's DFT matmul and block j−1's power/mel
+    run in the same grid step on disjoint scratch halves, freeing the
+    scheduler to overlap MXU and VPU work that `_kernel` serializes.
+    Bit-identical outputs (concat frame mode, non-fold, non-i24 only).
     """
     if algorithm is None:
         algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
@@ -307,6 +359,8 @@ def fused_mel_frontend(
         and sup // hop <= _TAIL_ROWS
         and (n_fft // 2 - pw) >= 1
     )
+    if pipeline and (fold or algorithm == "i24" or frame_mode != "concat"):
+        raise ValueError("pipeline=True requires concat frame mode, no fold, non-i24")
     if fold:
         if not fold_ok or algorithm == "i24":
             raise ValueError("fold=True unsupported for this geometry/algorithm")
@@ -444,12 +498,61 @@ def fused_mel_frontend(
 
     wri_in = _stack_weights(wri_p, algorithm)
     mel_in = _stack_weights(m_p, algorithm)
+    tail_stride = blkf // _TAIL_ROWS
+    # staging scratch in the transport dtype (bf16 in the corpus mode): the
+    # f32 round-trip it replaces was exact on bf16 values — bit-identical
+    row_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    if pipeline:
+        if frame_mode != "concat":
+            raise ValueError("pipeline=True requires frame_mode='concat'")
+        kern = partial(
+            _kernel_pipe, blkf=blkf, nj=nj, bins_pad=bins_pad, widths=widths,
+            nf=nf, algorithm=algorithm, out_dtype=out_dtype,
+        )
+        mel_out, bmax = pl.pallas_call(
+            kern,
+            grid=(bsz, nj + 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, blkf, lane),
+                    lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _TAIL_ROWS, lane),
+                    lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(wri_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, blkf, n_mels),
+                    lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, 128),
+                    lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
+                jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((blkf + _TAIL_ROWS, lane), row_dtype),
+                pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
+            ],
+        )(audio_p, audio_p, wri_in, mel_in)
+        return mel_out, bmax
     kern = partial(
         _kernel, blkf=blkf, hop=hop, lane=lane, bins_pad=bins_pad,
         widths=widths, nf=nf, algorithm=algorithm, out_dtype=out_dtype,
         frame_mode=frame_mode,
     )
-    tail_stride = blkf // _TAIL_ROWS
     mel_out, bmax = pl.pallas_call(
         kern,
         grid=(bsz, nj),
@@ -471,7 +574,7 @@ def fused_mel_frontend(
             jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
             jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), row_dtype)],
     )(audio_p, audio_p, wri_in, mel_in)
     return mel_out, bmax
 
@@ -676,7 +779,11 @@ def fused_mfcc(
         audio = audio[None, :]
     t = audio.shape[-1]
     nf = 1 + t // hop
-    blkf = 1024
+    # hardware A/B knobs (docs/DESIGN.md §5: the bf16 mode's fixed frontend
+    # cost F ≈ 6.2 ms is per-grid-step serial VPU work + prep, not MXU —
+    # blkf scales the step count, pipeline overlaps VPU with MXU)
+    blkf = int(os.environ.get("MODMFCC_BLKF", "1024"))
+    pipeline = os.environ.get("MODMFCC_FRONTEND_PIPE", "0") == "1" and algorithm != "i24"
     mel, bmax = fused_mel_frontend(
         audio,
         sr=sr,
@@ -689,6 +796,7 @@ def fused_mfcc(
         blkf=blkf,
         algorithm=algorithm,
         out_dtype=jnp.bfloat16 if algorithm == "bf16" else jnp.float32,
+        pipeline=pipeline,
     )
     # per-utterance top_db peak: log10 is monotone, so peak_db =
     # 10·log10(max(mel_power)) over valid frames — from the kernel's

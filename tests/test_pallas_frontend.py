@@ -215,3 +215,52 @@ def test_i24_matches_f32_grade(audio):
         )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pipelined_kernel_bit_identical(audio):
+    """The two-stage pipelined frontend (_kernel_pipe: block j's DFT and
+    block j−1's power/mel in one grid step on disjoint scratch halves) must
+    be BIT-identical to the plain kernel — same ops, same order, per block —
+    for every algorithm it supports, including frame counts that are not a
+    block multiple (blkf larger than nf: nj == 1 exercises the pipeline's
+    one-real-block edge)."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    kw = dict(sr=16_000.0, n_fft=512, hop=80, win_length=400, n_mels=128,
+              fmin=100.0, fmax=8000.0)
+    for algorithm in ("f32", "x3", "bf16"):
+        for blkf in (128, 1024):
+            with pltpu.force_tpu_interpret_mode():
+                mel_p, bmax_p = fused_mel_frontend(
+                    audio, blkf=blkf, pipeline=True, algorithm=algorithm, **kw
+                )
+                mel_u, bmax_u = fused_mel_frontend(
+                    audio, blkf=blkf, pipeline=False, algorithm=algorithm, **kw
+                )
+            np.testing.assert_array_equal(
+                np.asarray(mel_p), np.asarray(mel_u), err_msg=f"{algorithm}/{blkf}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(bmax_p), np.asarray(bmax_u), err_msg=f"{algorithm}/{blkf}"
+            )
+
+
+def test_pipelined_env_knob_routes(audio, monkeypatch):
+    """MODMFCC_FRONTEND_PIPE=1 routes fused_mfcc through the pipelined
+    kernel with unchanged results (bit-identical kernels ⇒ identical MFCC)."""
+    monkeypatch.setenv("MODMFCC_FRONTEND_PIPE", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_mfcc(audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0))
+    monkeypatch.delenv("MODMFCC_FRONTEND_PIPE")
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(fused_mfcc(audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_blkf_env_knob(audio, monkeypatch):
+    """MODMFCC_BLKF reshapes the grid without changing the numbers."""
+    want = np.asarray(_reference(audio))
+    monkeypatch.setenv("MODMFCC_BLKF", "512")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_mfcc(audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0))
+    np.testing.assert_allclose(got, want, atol=1e-4)
