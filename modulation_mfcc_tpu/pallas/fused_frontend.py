@@ -211,6 +211,61 @@ def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
     bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
 
 
+def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
+                     mel_ref, out_ref, bmax_ref, rows_vmem, reim_vmem, *,
+                     blkf: int, nj: int, bins_pad: int, widths: tuple,
+                     nf: int, out_dtype):
+    """Two-stage pipelined i24 frontend (same schedule as :func:`_kernel_pipe`):
+    stage A quantizes/digit-splits block j and runs the three int8 dots +
+    f32 recombination into the parity-(j%2) reim scratch half; stage B does
+    power + mel + write for block j−1 from the other half. The i24 step's
+    serial VPU load (digit split + recombination) is the heaviest of all
+    modes, so decoupling it from the block's own MXU matters most here.
+    Bit-identical to :func:`_kernel_i24` per block."""
+    j = pl.program_id(1)
+
+    @pl.when(j > 0)
+    def _emit():
+        reim = reim_vmem[(j - 1) % 2]
+        re = reim[:, :bins_pad]
+        im = reim[:, bins_pad:]
+        p = re * re + im * im
+        mel = _mxu(p, mel_ref, "x3")
+        out_ref[0] = mel.astype(out_dtype)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + (j - 1) * blkf
+        mel_valid = jnp.where(rowid < nf, mel, 0.0)
+        bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+    @pl.when(j < nj)
+    def _assemble():
+        n_shift = len(widths)
+        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(n_shift)]
+        frames = jnp.concatenate(parts, axis=-1)
+        b = pl.program_id(0)
+        s = sc_ref[b, 0]
+        x = jnp.round(frames * s)
+        q1 = jnp.floor((x + 128.0) * (1.0 / 256.0))
+        x0 = x - 256.0 * q1
+        q2 = jnp.floor((q1 + 128.0) * (1.0 / 256.0))
+        x1 = q1 - 256.0 * q2
+        f2 = q2.astype(jnp.int8)
+        f1 = x1.astype(jnp.int8)
+        f0 = x0.astype(jnp.int8)
+        x21 = jnp.concatenate([f2, f1], axis=-1)
+        x210 = jnp.concatenate([x21, f0], axis=-1)
+        d1 = jnp.dot(f2, wa_ref[...], preferred_element_type=jnp.int32)
+        d2 = jnp.dot(x21, wb_ref[...], preferred_element_type=jnp.int32)
+        d3 = jnp.dot(x210, wc_ref[...], preferred_element_type=jnp.int32)
+        inv = sc_ref[b, 1]
+        reim_vmem[j % 2] = (
+            d1.astype(jnp.float32) * 4294967296.0
+            + d2.astype(jnp.float32) * 16777216.0
+            + d3.astype(jnp.float32) * 65536.0
+        ) * inv
+
+
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
             nf: int, algorithm: str, out_dtype, frame_mode: str = "concat"):
@@ -359,8 +414,8 @@ def fused_mel_frontend(
         and sup // hop <= _TAIL_ROWS
         and (n_fft // 2 - pw) >= 1
     )
-    if pipeline and (fold or algorithm == "i24" or frame_mode != "concat"):
-        raise ValueError("pipeline=True requires concat frame mode, no fold, non-i24")
+    if pipeline and (fold or frame_mode != "concat"):
+        raise ValueError("pipeline=True requires concat frame mode, no fold")
     if fold:
         if not fold_ok or algorithm == "i24":
             raise ValueError("fold=True unsupported for this geometry/algorithm")
@@ -463,11 +518,58 @@ def fused_mel_frontend(
         sc = jnp.concatenate(
             [i24_scale, 1.0 / (i24_scale * sw)], axis=-1
         ).astype(jnp.float32)  # [bsz, 2]: (s, 1/(s·Sw))
+        tail_stride = blkf // _TAIL_ROWS
+        if pipeline:
+            kern = partial(
+                _kernel_i24_pipe, blkf=blkf, nj=nj, bins_pad=bins_pad,
+                widths=widths, nf=nf, out_dtype=out_dtype,
+            )
+            mel_out, bmax = pl.pallas_call(
+                kern,
+                grid=(bsz, nj + 1),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, blkf, lane),
+                        lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, _TAIL_ROWS, lane),
+                        lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec((bsz, 2), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec(wa.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(wb.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(wc.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, blkf, n_mels),
+                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 8, 128),
+                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
+                    jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32),
+                    pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
+                ],
+            )(audio_p, audio_p, sc, wa, wb, wc, mel_in)
+            return mel_out, bmax
         kern = partial(
             _kernel_i24, blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
             out_dtype=out_dtype,
         )
-        tail_stride = blkf // _TAIL_ROWS
         mel_out, bmax = pl.pallas_call(
             kern,
             grid=(bsz, nj),
@@ -783,7 +885,7 @@ def fused_mfcc(
     # cost F ≈ 6.2 ms is per-grid-step serial VPU work + prep, not MXU —
     # blkf scales the step count, pipeline overlaps VPU with MXU)
     blkf = int(os.environ.get("MODMFCC_BLKF", "1024"))
-    pipeline = os.environ.get("MODMFCC_FRONTEND_PIPE", "0") == "1" and algorithm != "i24"
+    pipeline = os.environ.get("MODMFCC_FRONTEND_PIPE", "0") == "1"
     mel, bmax = fused_mel_frontend(
         audio,
         sr=sr,

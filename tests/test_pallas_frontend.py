@@ -228,7 +228,7 @@ def test_pipelined_kernel_bit_identical(audio):
 
     kw = dict(sr=16_000.0, n_fft=512, hop=80, win_length=400, n_mels=128,
               fmin=100.0, fmax=8000.0)
-    for algorithm in ("f32", "x3", "bf16"):
+    for algorithm in ("f32", "x3", "bf16", "i24"):
         for blkf in (128, 1024):
             with pltpu.force_tpu_interpret_mode():
                 mel_p, bmax_p = fused_mel_frontend(
