@@ -357,6 +357,7 @@ def main() -> None:
     f32 = _throughput("pallas", batch, seconds, n_super)
     i24 = _throughput("pallas_i24", batch, seconds, n_super)
     x3 = _throughput("pallas_x3", batch, seconds, n_super)
+    i16 = None  # 16-bit fixed-point parity mode (exact for int16-origin audio)
     # secondary fields: a failure in any one must not sink the artifact
     def _try(fn, *a, **k):
         try:
@@ -382,6 +383,7 @@ def main() -> None:
             engine_fallbacks.append(name)
         return got
 
+    i16 = _try(_throughput, "pallas_i16", batch, seconds, n_super)
     trackers = _try_engines("tracker_sweep", tracker_safe, _tracker_throughput, 16, seconds, 8)
     pyin = _try_engines("pyin_sweep", pyin_safe, _pyin_throughput, 8, seconds, 8)
     pyin16 = _try_engines("pyin_sweep_16k", pyin_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
@@ -398,6 +400,7 @@ def main() -> None:
                 "vs_baseline": round(bf16 / per_chip_target, 4),
                 "f32_parity_mode": round(f32, 3),
                 "i24_parity_mode": round(i24, 3),
+                "i16_parity_mode": i16,
                 "f32_x3_mode": round(x3, 3),
                 "tracker_sweep": trackers,
                 "pyin_sweep": pyin,

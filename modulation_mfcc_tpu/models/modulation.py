@@ -61,6 +61,12 @@ def mfcc_trajectories(
                         bf16 there — docs/DESIGN.md §5); the best
                         ≤1e-4-at-MFCC mode, and sized to reach the
                         62.5 h/s north star on hardware with true 2× int8
+      * 'pallas_i16'  — fused Pallas kernel, 16-bit fixed-point DFT (two
+                        int8 audio digits, 5K int8 rows vs i24's 6K):
+                        EXACT for int16-PCM-origin audio (the corpus
+                        upload format; other audio is 16-bit-quantized
+                        first) at f32-grade MFCC parity — the cheapest
+                        ≤1e-4 fixed-point mode (docs/DESIGN.md §8)
       * 'pallas_x3'   — fused Pallas kernel, 3-pass bf16-split matmuls:
                         ~1.35x 'pallas'; ~1e-3-grade MFCC error (fine for
                         feature extraction, not for strict parity)
@@ -70,15 +76,16 @@ def mfcc_trajectories(
     """
     if spectrum is None:
         spectrum = "fft" if use_fft else "matmul"
-    if spectrum not in ("fft", "matmul", "pallas", "pallas_i24", "pallas_x3", "pallas_bf16"):
+    if spectrum not in ("fft", "matmul", "pallas", "pallas_i24", "pallas_i16", "pallas_x3", "pallas_bf16"):
         raise ValueError(
             f"Unknown spectrum {spectrum!r}; one of fft, matmul, pallas, "
-            "pallas_i24, pallas_x3, pallas_bf16"
+            "pallas_i24, pallas_i16, pallas_x3, pallas_bf16"
         )
     if spectrum.startswith("pallas"):
         from modulation_mfcc_tpu.pallas.fused_frontend import fused_mfcc
 
-        algo = {"pallas": "f32", "pallas_i24": "i24", "pallas_x3": "x3", "pallas_bf16": "bf16"}[spectrum]
+        algo = {"pallas": "f32", "pallas_i24": "i24", "pallas_i16": "i16",
+                "pallas_x3": "x3", "pallas_bf16": "bf16"}[spectrum]
         return fused_mfcc(
             y,
             sr=cfg.signal_sample_rate,

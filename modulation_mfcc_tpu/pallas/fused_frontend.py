@@ -41,6 +41,13 @@ dtype/algorithm modes (the ``algorithm`` knob):
     bf16-pass-equivalents ≈ the f32 mode's 4.8 — kept as an
     accuracy-equivalent alternative and for hardware where int8 realizes
     its 2× (where it would run ~1.8× the f32 mode).
+  * 'i16'  — 16-bit fixed-point mode: EXACT for int16-PCM-origin audio
+    (the corpus sweep's upload format; other inputs are 16-bit-quantized
+    first). Audio splits into TWO int8 digits (asymmetric high digit +
+    offset-corrected low digit, see :func:`_i16_digits`), so the windowed
+    DFT is three int8 dots on 5K rows total vs i24's 6K — the cheapest
+    ≤1e-4-at-MFCC fixed-point mode, and the headline candidate if int8
+    sustains ~2× bf16 (docs/DESIGN.md §8).
   * 'x3'   — middle mode: operands split into bf16 (hi, lo) pairs, 3 MXU
     passes (hi·Whi + hi·Wlo + lo·Whi). ~1.35x the f32 mode's throughput;
     error ≈ 2^-17 relative (≈7e-3 max in the mel-dB domain on noise) —
@@ -266,6 +273,106 @@ def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
         ) * inv
 
 
+def _i16_digits(frames, s):
+    """16-bit fixed-point digit split (algorithm='i16'): X = clip(round(x·s))
+    ∈ [−32768, 32767], X = x1·256 + (x0s + 128) with x1 = floor(X/256) ∈
+    [−128, 127] (asymmetric high digit — covers the full int16 range where
+    a balanced split would need x1 = 128) and x0s ∈ [−128, 127]. The +128
+    offset of the low digit is a CONSTANT, folded into a precomputed
+    per-column correction vector instead of a third digit plane. Exact for
+    int16-PCM-origin audio (x·32768 already integral); other inputs are
+    16-bit-quantized (round) rather than truncated."""
+    x = jnp.clip(jnp.round(frames * s), -32768.0, 32767.0)
+    x1 = jnp.floor(x * (1.0 / 256.0))
+    x0s = x - 256.0 * x1 - 128.0
+    return x1.astype(jnp.int8), x0s.astype(jnp.int8)
+
+
+def _kernel_i16(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref, wc_ref,
+                mel_ref, out_ref, bmax_ref, rows_vmem, *, blkf: int,
+                bins_pad: int, widths: tuple, nf: int, out_dtype):
+    """16-bit fixed-point frontend step (algorithm='i16').
+
+    Like :func:`_kernel_i24` but for 16-bit audio digits: X = x1·2⁸ + x0f,
+    W·Sw = w2·2¹⁶ + w1·2⁸ + w0, and the windowed DFT keeps every digit
+    product ≥ 2⁻²⁴ of full scale as THREE int8 dots on FIVE K-rows total
+    (vs i24's six):
+        d1 = x1@w2              (K,  scale 2²⁴)
+        d2 = [x1|x0s]@[w1;w2]   (2K, scale 2¹⁶)
+        d3 = [x1|x0s]@[w0;w1]   (2K, scale 2⁸ — same LHS concat as d2)
+    plus corr[col] = 128·Σ_k round(W[k,col]·Sw) for the low digit's +128
+    offset (host-precomputed); the dropped x0s·w0 term is ≤ 2⁷·2⁷ = 2⁻²⁴
+    of the 2¹⁵·2²³ full scale — the same class as the f32 path's own
+    rounding. Exact for int16-origin audio (the corpus sweep's upload
+    format); arbitrary f32 audio is 16-bit-quantized first (i24 is the
+    full-precision fixed-point mode)."""
+    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+    parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
+    frames = jnp.concatenate(parts, axis=-1)  # [blkf, K]
+    b = pl.program_id(0)
+    f1, f0 = _i16_digits(frames, sc_ref[b, 0])
+    x10 = jnp.concatenate([f1, f0], axis=-1)  # [blkf, 2K]
+    d1 = jnp.dot(f1, wa_ref[...], preferred_element_type=jnp.int32)
+    d2 = jnp.dot(x10, wb_ref[...], preferred_element_type=jnp.int32)
+    d3 = jnp.dot(x10, wc_ref[...], preferred_element_type=jnp.int32)
+    inv = sc_ref[b, 1]
+    reim = (
+        d1.astype(jnp.float32) * 16777216.0
+        + d2.astype(jnp.float32) * 65536.0
+        + d3.astype(jnp.float32) * 256.0
+        + corr_ref[0:1, :]
+    ) * inv
+    re = reim[:, :bins_pad]
+    im = reim[:, bins_pad:]
+    p = re * re + im * im
+    mel = _mxu(p, mel_ref, "x3")
+    out_ref[0] = mel.astype(out_dtype)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + pl.program_id(1) * blkf
+    mel_valid = jnp.where(rowid < nf, mel, 0.0)
+    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+
+def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
+                     wc_ref, mel_ref, out_ref, bmax_ref, rows_vmem, reim_vmem,
+                     *, blkf: int, nj: int, bins_pad: int, widths: tuple,
+                     nf: int, out_dtype):
+    """Two-stage pipelined :func:`_kernel_i16` (schedule of _kernel_pipe)."""
+    j = pl.program_id(1)
+
+    @pl.when(j > 0)
+    def _emit():
+        reim = reim_vmem[(j - 1) % 2]
+        re = reim[:, :bins_pad]
+        im = reim[:, bins_pad:]
+        p = re * re + im * im
+        mel = _mxu(p, mel_ref, "x3")
+        out_ref[0] = mel.astype(out_dtype)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + (j - 1) * blkf
+        mel_valid = jnp.where(rowid < nf, mel, 0.0)
+        bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+    @pl.when(j < nj)
+    def _assemble():
+        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
+        frames = jnp.concatenate(parts, axis=-1)
+        b = pl.program_id(0)
+        f1, f0 = _i16_digits(frames, sc_ref[b, 0])
+        x10 = jnp.concatenate([f1, f0], axis=-1)
+        d1 = jnp.dot(f1, wa_ref[...], preferred_element_type=jnp.int32)
+        d2 = jnp.dot(x10, wb_ref[...], preferred_element_type=jnp.int32)
+        d3 = jnp.dot(x10, wc_ref[...], preferred_element_type=jnp.int32)
+        inv = sc_ref[b, 1]
+        reim_vmem[j % 2] = (
+            d1.astype(jnp.float32) * 16777216.0
+            + d2.astype(jnp.float32) * 65536.0
+            + d3.astype(jnp.float32) * 256.0
+            + corr_ref[0:1, :]
+        ) * inv
+
+
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
             nf: int, algorithm: str, out_dtype, frame_mode: str = "concat"):
@@ -417,7 +524,7 @@ def fused_mel_frontend(
     if pipeline and (fold or frame_mode != "concat"):
         raise ValueError("pipeline=True requires concat frame mode, no fold")
     if fold:
-        if not fold_ok or algorithm == "i24":
+        if not fold_ok or algorithm in ("i24", "i16"):
             raise ValueError("fold=True unsupported for this geometry/algorithm")
         return _folded_frontend(
             audio, sr=sr, n_fft=n_fft, hop=hop, sup=sup, pw=pw, n_mels=n_mels,
@@ -596,6 +703,99 @@ def fused_mel_frontend(
             ],
             scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
         )(audio_p, audio_p, sc, wa, wb, wc, mel_in)
+        return mel_out, bmax
+
+    if algorithm == "i16":
+        if frame_mode != "concat":
+            raise ValueError("algorithm='i16' requires frame_mode='concat'")
+        w2, w1, w0, sw = _int8_weight_planes(wri_p)
+        wa = jnp.asarray(w2)
+        wb = jnp.asarray(np.concatenate([w1, w2], axis=0))
+        wc = jnp.asarray(np.concatenate([w0, w1], axis=0))  # 2K, not 3K
+        mel_in = _stack_weights(m_p, "x3")
+        # fixed 16-bit scale (int16 PCM is x·32768 ∈ [−32768, 32767] exactly)
+        s16 = 32768.0
+        sc = jnp.broadcast_to(
+            jnp.asarray([s16, 1.0 / (s16 * sw)], jnp.float32), (bsz, 2)
+        )
+        # low-digit +128 offset: corr[col] = 128·Σ_k round(W[k,col]·Sw)
+        # (= 128·Σ_k (w2·2¹⁶ + w1·2⁸ + w0), exact integers in f64)
+        r_int = (
+            w2.astype(np.float64) * 65536.0
+            + w1.astype(np.float64) * 256.0
+            + w0.astype(np.float64)
+        )
+        corr = np.zeros((8, 2 * bins_pad), np.float32)
+        corr[0, :] = (128.0 * r_int.sum(axis=0)).astype(np.float32)
+        corr_in = jnp.asarray(corr)
+        tail_stride = blkf // _TAIL_ROWS
+        common_kw = dict(blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
+                         out_dtype=out_dtype)
+        fixed_specs = [
+            pl.BlockSpec((bsz, 2), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(corr_in.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wa.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wb.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wc.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
+            jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
+        ]
+        if pipeline:
+            mel_out, bmax = pl.pallas_call(
+                partial(_kernel_i16_pipe, nj=nj, **common_kw),
+                grid=(bsz, nj + 1),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, blkf, lane),
+                        lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, _TAIL_ROWS, lane),
+                        lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ] + fixed_specs,
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, blkf, n_mels),
+                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 8, 128),
+                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32),
+                    pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
+                ],
+            )(audio_p, audio_p, sc, corr_in, wa, wb, wc, mel_in)
+            return mel_out, bmax
+        mel_out, bmax = pl.pallas_call(
+            partial(_kernel_i16, **common_kw),
+            grid=(bsz, nj),
+            in_specs=[
+                pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, _TAIL_ROWS, lane),
+                    lambda b, j: (b, (j + 1) * tail_stride, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] + fixed_specs,
+            out_specs=[
+                pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, 128), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
+        )(audio_p, audio_p, sc, corr_in, wa, wb, wc, mel_in)
         return mel_out, bmax
 
     wri_in = _stack_weights(wri_p, algorithm)

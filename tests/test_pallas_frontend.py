@@ -264,3 +264,56 @@ def test_blkf_env_knob(audio, monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(fused_mfcc(audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_i16_matches_f32_grade_on_int16_audio():
+    """algorithm='i16' (two int8 audio digits + offset-corrected low digit,
+    5K int8 rows) must hold f32-grade MFCC parity on int16-PCM-origin audio
+    — the mode's exactness domain (docs/DESIGN.md §8). Weight quantization
+    (2^-24·max|W|) is the only approximation, same class as i24."""
+    rng = np.random.default_rng(20260818)
+    pcm = rng.integers(-32768, 32768, (2, 24_000)).astype(np.int16)
+    a = jnp.asarray(pcm.astype(np.float32) / 32768.0)
+    want = np.asarray(_reference(a))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_mfcc(a, sr=16_000.0, hop=80, win_length=400, fmax=8000.0,
+                       algorithm="i16")
+        )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_i16_pipeline_bit_identical():
+    """Pipelined i16 == plain i16 bitwise (same schedule proof as the other
+    modes; i16 has its own kernel pair because of the corr input)."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32768, (2, 9_000)).astype(np.int16)
+    a = jnp.asarray(pcm.astype(np.float32) / 32768.0)
+    kw = dict(sr=16_000.0, n_fft=512, hop=80, win_length=400, n_mels=128,
+              fmin=100.0, fmax=8000.0, algorithm="i16")
+    with pltpu.force_tpu_interpret_mode():
+        mel_p, bmax_p = fused_mel_frontend(a, blkf=64, pipeline=True, **kw)
+        mel_u, bmax_u = fused_mel_frontend(a, blkf=64, pipeline=False, **kw)
+    np.testing.assert_array_equal(np.asarray(mel_p), np.asarray(mel_u))
+    np.testing.assert_array_equal(np.asarray(bmax_p), np.asarray(bmax_u))
+
+
+def test_i16_public_spectrum_dispatch():
+    """spectrum='pallas_i16' reaches the kernel through mfcc_change with
+    parity-grade output on int16-origin speechlike audio."""
+    from tests.reference_impl import get_mfccs_change_np
+
+    sr = 16_000
+    t = np.arange(int(1.5 * sr)) / sr
+    sig = 0.4 * np.sin(2 * np.pi * 150 * t) + 0.2 * np.sin(2 * np.pi * 900 * t)
+    pcm = np.round(sig * 32767).astype(np.int16)
+    a = pcm.astype(np.float32) / 32768.0
+    from modulation_mfcc_tpu.models.modulation import mfcc_change
+
+    cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+    want, _ = get_mfccs_change_np(a.astype(np.float64), sr, max_freq=8000.0)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(mfcc_change(jnp.asarray(a), cfg, spectrum="pallas_i16"))
+    assert np.abs(got - want).max() < 5e-5
