@@ -299,10 +299,20 @@ def _conv_valid_lastaxis(
         blk = 128
         w = blk + klen - 1
         nb = -(-n_out // blk)
-        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * blk + w - t)])
-        idx = np.arange(nb)[:, None] * blk + np.arange(w)[None, :]
-        x3 = xp[..., jnp.asarray(idx)]  # [..., nb, w]
-        km = np.zeros((w, blk), dtype=np.float64)
+        # overlapping windows (stride blk, width w) assembled GATHER-FREE:
+        # reshape to blk-sample rows and concat n_shift shifted sublane
+        # slices (the fused-frontend frame trick — element gathers at this
+        # scale were measured ~9 ms-class on v5e, DESIGN.md §3). The extra
+        # wpad−w columns multiply zero kernel rows: bit-identical output.
+        n_shift = -(-w // blk)
+        wpad = n_shift * blk
+        rows_total = nb + n_shift
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, rows_total * blk - t)])
+        rows = xp.reshape(lead + (rows_total, blk))
+        x3 = jnp.concatenate(
+            [rows[..., k : k + nb, :] for k in range(n_shift)], axis=-1
+        )  # [..., nb, wpad]; x3[..., b, l] == xp[..., b*blk + l]
+        km = np.zeros((wpad, blk), dtype=np.float64)
         for j in range(blk):
             km[j : j + klen, j] = kernel
         out = jnp.matmul(
