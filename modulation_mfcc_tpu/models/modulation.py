@@ -34,6 +34,7 @@ from modulation_mfcc_tpu.ops.derivatives import np_gradient
 from modulation_mfcc_tpu.ops.framing import frame_signal, frame_times_mfcc, n_frames_centered
 from modulation_mfcc_tpu.ops.savgol import savgol_filter_jax
 from modulation_mfcc_tpu.ops.spectral import mfcc_from_frames
+from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
 
 __all__ = ["mfcc_trajectories", "mfcc_change", "extract_mfcc_change", "modulation_spectrum"]
 
@@ -256,21 +257,25 @@ def change_times(n_samples: int, cfg: MfccConfig) -> np.ndarray:
     return frame_times_mfcc(nf, cfg.tStep, cfg.winLen)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum"))
-def _mfcc_change_jit(y, cfg, use_fft, spectrum):
+# `knobs` is frontend_knobs() threaded through the jit cache key: the pallas
+# frontend reads its env knobs at TRACE time, so a memoized trace compiled
+# under old knob values must miss when the env changes (pallas/knobs.py).
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum", "knobs"))
+def _mfcc_change_jit(y, cfg, use_fft, spectrum, knobs=None):
     return mfcc_change(y, cfg, use_fft=use_fft, spectrum=spectrum)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum", "masked_fir"))
-def _mfcc_change_masked_jit(y, frame_lengths, cfg, use_fft, spectrum, masked_fir):
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum", "masked_fir", "knobs"))
+def _mfcc_change_masked_jit(y, frame_lengths, cfg, use_fft, spectrum, masked_fir,
+                            knobs=None):
     return mfcc_change(
         y, cfg, frame_lengths=frame_lengths, use_fft=use_fft,
         spectrum=spectrum, masked_fir=masked_fir,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum"))
-def _traj_masked_jit(y, frame_mask, cfg, use_fft, spectrum):
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "spectrum", "knobs"))
+def _traj_masked_jit(y, frame_mask, cfg, use_fft, spectrum, knobs=None):
     return mfcc_trajectories(
         y, cfg, frame_mask=frame_mask, use_fft=use_fft, spectrum=spectrum
     )
@@ -361,7 +366,7 @@ def extract_mfcc_change(
     y = jnp.asarray(y, dtype=jnp.float32)
     if y.ndim != 1:
         # batched input: exact-shape compile (corpus layers handle bucketing)
-        tot = _mfcc_change_jit(y, cfg, use_fft, spectrum)
+        tot = _mfcc_change_jit(y, cfg, use_fft, spectrum, knobs=frontend_knobs())
         return tot, change_times(y.shape[-1], cfg)
     n = y.shape[-1]
     from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
@@ -380,11 +385,13 @@ def extract_mfcc_change(
     mf = min_frames_for_fir(cfg)
     if mf is not None and nf_valid >= mf:
         fl = jnp.asarray([nf_valid], dtype=jnp.int32)
-        tot = _mfcc_change_masked_jit(ypad, fl, cfg, use_fft, spectrum, True)
+        tot = _mfcc_change_masked_jit(
+            ypad, fl, cfg, use_fft, spectrum, True, knobs=frontend_knobs()
+        )
         return jnp.asarray(np.asarray(tot)[0, :nf_valid]), t
     nf_pad = n_frames_centered(t_pad, cfg.n_fft, cfg.hop_length)
     mask = (jnp.arange(nf_pad) < nf_valid).astype(jnp.float32)[None, :]
-    m = _traj_masked_jit(ypad, mask, cfg, use_fft, spectrum)
+    m = _traj_masked_jit(ypad, mask, cfg, use_fft, spectrum, knobs=frontend_knobs())
     m_np = np.asarray(m)[0, :nf_valid, :].astype(np.float64)
     tot = _host_trajectory_tail(m_np, cfg)
     return jnp.asarray(tot), t
@@ -403,7 +410,7 @@ def extract_mfcc_matrix(
 
     y = jnp.asarray(y, dtype=jnp.float32)
     if y.ndim != 1:
-        m = _traj_masked_jit(y, None, cfg, True, spectrum)
+        m = _traj_masked_jit(y, None, cfg, True, spectrum, knobs=frontend_knobs())
         return change_times(y.shape[-1], cfg), m
     n = y.shape[-1]
     t_pad = round_up_to_multiple(max(n, cfg.n_fft), bucket)
@@ -411,7 +418,7 @@ def extract_mfcc_matrix(
     nf_pad = n_frames_centered(t_pad, cfg.n_fft, cfg.hop_length)
     ypad = jnp.pad(y, (0, t_pad - n))[None, :]
     mask = (jnp.arange(nf_pad) < nf_valid).astype(jnp.float32)[None, :]
-    m = _traj_masked_jit(ypad, mask, cfg, True, spectrum)
+    m = _traj_masked_jit(ypad, mask, cfg, True, spectrum, knobs=frontend_knobs())
     return change_times(n, cfg), jnp.asarray(np.asarray(m)[0, :nf_valid])
 
 

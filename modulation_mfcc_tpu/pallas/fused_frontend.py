@@ -107,6 +107,38 @@ def _mxu(x, w_ref, algorithm: str):
     )
 
 
+def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple):
+    """Stage the pipelined main+tail blocks into one contiguous scratch and
+    build frames [blkf, K] from shifted sublane slices over the trimmed
+    window support (frames[i, k·hop:(k+1)·hop] = rows[i+k, :hop]). One
+    contiguous base is required — Mosaic cannot concat views with
+    mismatched sublane offsets across two buffers. The scratch dtype is the
+    transport dtype (bf16 in the corpus mode: the f32 round-trip it
+    replaces was exact on bf16 values, so outputs are bit-identical and
+    the staging copy + concat halve)."""
+    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+    parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _emit(reim, mel_ref, out_ref, bmax_ref, *, mel_alg: str, out_dtype,
+          blkf: int, bins_pad: int, nf: int, base):
+    """Shared power→mel→write epilogue: p = re²+im², mel projection, output
+    block write, and the per-block max tile over VALID frames only (global
+    frame index base+i < nf, nf static). Frames just past nf still window
+    real tail samples, so an unmasked max could let a tail transient raise
+    the whole utterance's top_db clip floor."""
+    re = reim[:, :bins_pad]
+    im = reim[:, bins_pad:]
+    p = re * re + im * im
+    mel = _mxu(p, mel_ref, mel_alg)
+    out_ref[0] = mel.astype(out_dtype)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + base
+    mel_valid = jnp.where(rowid < nf, mel, 0.0)
+    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+
 def _fold_kernel(main_ref, tail_ref, rmain_ref, rtail_ref, wc_ref, ws_ref,
                  mel_ref, out_ref, bmax_ref, rows_vmem, rrev_vmem, *,
                  blkf: int, hop: int, m: int, re_cols: int, im_cols: int,
@@ -165,29 +197,17 @@ def _int8_weight_planes(w: np.ndarray):
     )
 
 
-def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
-                out_ref, bmax_ref, rows_vmem, *, blkf: int, bins_pad: int,
-                widths: tuple, nf: int, out_dtype):
-    """Fixed-point frontend step (algorithm='i24', see module docstring).
-
-    Frames assemble in f32 as usual, are quantized in-kernel to 24-bit
-    integers (X = round(x·s), |X| ≤ 2²³−33000, exact in f32) and split into
-    three balanced int8 digit planes on the VPU; the windowed DFT then runs
-    as three int8 MXU dots with exact int32 accumulation:
-        d1 = x2@w2            (K  lanes, scale 2³²)
-        d2 = [x2|x1]@[w1;w2]  (2K lanes, scale 2²⁴)
+def _i24_reim(frames, s, inv, wa_ref, wb_ref, wc_ref):
+    """24-bit fixed-point windowed DFT of assembled frames: quantize
+    (X = round(x·s), |X| ≤ 2²³−33000, exact in f32), split into three
+    balanced int8 digit planes on the VPU, run three int8 MXU dots with
+    exact int32 accumulation —
+        d1 = x2@w2                  (K  lanes, scale 2³²)
+        d2 = [x2|x1]@[w1;w2]        (2K lanes, scale 2²⁴)
         d3 = [x2|x1|x0]@[w0;w1;w2]  (3K lanes, scale 2¹⁶)
-    i.e. every digit product with weight ≥ 2⁻¹⁶ of full scale — the
-    dropped x1w0/x0w1/x0w0 tail is ≤ 2⁻²⁴-grade, the same class as the
-    f32 path's own rounding. ``sc_ref[b] = (s_b, 1/(s_b·Sw))`` carries the
-    per-utterance quantization scale in and the true scale back out."""
-    n_shift = len(widths)
-    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
-    parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(n_shift)]
-    frames = jnp.concatenate(parts, axis=-1)  # [blkf, K]
-    b = pl.program_id(0)
-    s = sc_ref[b, 0]
+    i.e. every digit product ≥ 2⁻¹⁶ of full scale; the dropped
+    x1w0/x0w1/x0w0 tail is ≤ 2⁻²⁴-grade, the same class as the f32 path's
+    own rounding — and recombine in f32 with power-of-two shifts."""
     x = jnp.round(frames * s)  # 24-bit integers, exact in f32
     # balanced base-256 digits, all exact f32 arithmetic
     q1 = jnp.floor((x + 128.0) * (1.0 / 256.0))
@@ -202,20 +222,26 @@ def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
     d1 = jnp.dot(f2, wa_ref[...], preferred_element_type=jnp.int32)
     d2 = jnp.dot(x21, wb_ref[...], preferred_element_type=jnp.int32)
     d3 = jnp.dot(x210, wc_ref[...], preferred_element_type=jnp.int32)
-    inv = sc_ref[b, 1]
-    reim = (
+    return (
         d1.astype(jnp.float32) * 4294967296.0
         + d2.astype(jnp.float32) * 16777216.0
         + d3.astype(jnp.float32) * 65536.0
     ) * inv
-    re = reim[:, :bins_pad]
-    im = reim[:, bins_pad:]
-    p = re * re + im * im
-    mel = _mxu(p, mel_ref, "x3")
-    out_ref[0] = mel.astype(out_dtype)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + pl.program_id(1) * blkf
-    mel_valid = jnp.where(rowid < nf, mel, 0.0)
-    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+
+def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
+                out_ref, bmax_ref, rows_vmem, *, blkf: int, bins_pad: int,
+                widths: tuple, nf: int, out_dtype):
+    """Fixed-point frontend step (algorithm='i24', see module docstring and
+    :func:`_i24_reim`). ``sc_ref[b] = (s_b, 1/(s_b·Sw))`` carries the
+    per-utterance quantization scale in and the true scale back out. The
+    mel projection runs as x3 (non-negative operands keep the 2⁻¹⁷ split
+    error relative)."""
+    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+    b = pl.program_id(0)
+    reim = _i24_reim(frames, sc_ref[b, 0], sc_ref[b, 1], wa_ref, wb_ref, wc_ref)
+    _emit(reim, mel_ref, out_ref, bmax_ref, mel_alg="x3", out_dtype=out_dtype,
+          blkf=blkf, bins_pad=bins_pad, nf=nf, base=pl.program_id(1) * blkf)
 
 
 def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
@@ -232,45 +258,18 @@ def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
     j = pl.program_id(1)
 
     @pl.when(j > 0)
-    def _emit():
-        reim = reim_vmem[(j - 1) % 2]
-        re = reim[:, :bins_pad]
-        im = reim[:, bins_pad:]
-        p = re * re + im * im
-        mel = _mxu(p, mel_ref, "x3")
-        out_ref[0] = mel.astype(out_dtype)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + (j - 1) * blkf
-        mel_valid = jnp.where(rowid < nf, mel, 0.0)
-        bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+    def _stage_b():
+        _emit(reim_vmem[(j - 1) % 2], mel_ref, out_ref, bmax_ref,
+              mel_alg="x3", out_dtype=out_dtype, blkf=blkf, bins_pad=bins_pad,
+              nf=nf, base=(j - 1) * blkf)
 
     @pl.when(j < nj)
-    def _assemble():
-        n_shift = len(widths)
-        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
-        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(n_shift)]
-        frames = jnp.concatenate(parts, axis=-1)
+    def _stage_a():
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
         b = pl.program_id(0)
-        s = sc_ref[b, 0]
-        x = jnp.round(frames * s)
-        q1 = jnp.floor((x + 128.0) * (1.0 / 256.0))
-        x0 = x - 256.0 * q1
-        q2 = jnp.floor((q1 + 128.0) * (1.0 / 256.0))
-        x1 = q1 - 256.0 * q2
-        f2 = q2.astype(jnp.int8)
-        f1 = x1.astype(jnp.int8)
-        f0 = x0.astype(jnp.int8)
-        x21 = jnp.concatenate([f2, f1], axis=-1)
-        x210 = jnp.concatenate([x21, f0], axis=-1)
-        d1 = jnp.dot(f2, wa_ref[...], preferred_element_type=jnp.int32)
-        d2 = jnp.dot(x21, wb_ref[...], preferred_element_type=jnp.int32)
-        d3 = jnp.dot(x210, wc_ref[...], preferred_element_type=jnp.int32)
-        inv = sc_ref[b, 1]
-        reim_vmem[j % 2] = (
-            d1.astype(jnp.float32) * 4294967296.0
-            + d2.astype(jnp.float32) * 16777216.0
-            + d3.astype(jnp.float32) * 65536.0
-        ) * inv
+        reim_vmem[j % 2] = _i24_reim(
+            frames, sc_ref[b, 0], sc_ref[b, 1], wa_ref, wb_ref, wc_ref
+        )
 
 
 def _i16_digits(frames, s):
@@ -279,139 +278,110 @@ def _i16_digits(frames, s):
     [−128, 127] (asymmetric high digit — covers the full int16 range where
     a balanced split would need x1 = 128) and x0s ∈ [−128, 127]. The +128
     offset of the low digit is a CONSTANT, folded into a precomputed
-    per-column correction vector instead of a third digit plane. Exact for
-    int16-PCM-origin audio (x·32768 already integral); other inputs are
-    16-bit-quantized (round) rather than truncated."""
+    per-column correction vector instead of a third digit plane. Exact
+    whenever x·s is integral — int16-PCM-origin audio under the
+    power-of-two per-utterance scale (see fused_mel_frontend); other
+    inputs are 16-bit-quantized (round) rather than truncated."""
     x = jnp.clip(jnp.round(frames * s), -32768.0, 32767.0)
     x1 = jnp.floor(x * (1.0 / 256.0))
     x0s = x - 256.0 * x1 - 128.0
     return x1.astype(jnp.int8), x0s.astype(jnp.int8)
 
 
-def _kernel_i16(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref, wc_ref,
-                mel_ref, out_ref, bmax_ref, rows_vmem, *, blkf: int,
-                bins_pad: int, widths: tuple, nf: int, out_dtype):
-    """16-bit fixed-point frontend step (algorithm='i16').
-
-    Like :func:`_kernel_i24` but for 16-bit audio digits: X = x1·2⁸ + x0f,
-    W·Sw = w2·2¹⁶ + w1·2⁸ + w0, and the windowed DFT keeps every digit
-    product ≥ 2⁻²⁴ of full scale as THREE int8 dots on FIVE K-rows total
-    (vs i24's six):
+def _i16_reim(frames, s, inv, corr_ref, wa_ref, wb_ref, wc_ref):
+    """16-bit fixed-point windowed DFT: X = x1·2⁸ + x0f against
+    W·Sw = w2·2¹⁶ + w1·2⁸ + w0, keeping every digit product ≥ 2⁻²⁴ of the
+    utterance's scale as THREE int8 dots on FIVE K-rows total (vs i24's
+    six):
         d1 = x1@w2              (K,  scale 2²⁴)
         d2 = [x1|x0s]@[w1;w2]   (2K, scale 2¹⁶)
         d3 = [x1|x0s]@[w0;w1]   (2K, scale 2⁸ — same LHS concat as d2)
     plus corr[col] = 128·Σ_k round(W[k,col]·Sw) for the low digit's +128
-    offset (host-precomputed); the dropped x0s·w0 term is ≤ 2⁷·2⁷ = 2⁻²⁴
-    of the 2¹⁵·2²³ full scale — the same class as the f32 path's own
-    rounding. Exact for int16-origin audio (the corpus sweep's upload
-    format); arbitrary f32 audio is 16-bit-quantized first (i24 is the
-    full-precision fixed-point mode)."""
-    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
-    parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
-    frames = jnp.concatenate(parts, axis=-1)  # [blkf, K]
-    b = pl.program_id(0)
-    f1, f0 = _i16_digits(frames, sc_ref[b, 0])
+    offset (host-precomputed). The dropped x0s·w0 term is ≤ 2⁷·2⁷ per
+    element = 2⁻²³..2⁻²⁴ of the per-utterance full scale, and it stays
+    incoherent across k even in the worst data case: when the power-of-two
+    lift makes X an exact multiple of 256 (quiet int16 audio) x0s is the
+    CONSTANT −128, but w0 — the low digit of the weight planes — is
+    sign-random across rows, so the per-column error is 128·|Σ_k w0[k,c]|,
+    a random walk, not 128·Σ_k|w0[k,c]|. Measured on the pinned −60 dBFS
+    fixture (that worst case): worst-mel relative error 1.4e-4, of which
+    the f32 rounding floor is 6.8e-5 — i.e. the dropped term costs one
+    f32-grade unit, ≤ ~8e-5 per MFCC coefficient, inside the ≤1e-4
+    budget. A 4th x0s@w0 dot restoring the exact product measured 7.0e-5
+    total but costs a 6th K-row (the i24 price) — rejected; the
+    quiet-audio test pins the 2e-4 mel bound."""
+    f1, f0 = _i16_digits(frames, s)
     x10 = jnp.concatenate([f1, f0], axis=-1)  # [blkf, 2K]
     d1 = jnp.dot(f1, wa_ref[...], preferred_element_type=jnp.int32)
     d2 = jnp.dot(x10, wb_ref[...], preferred_element_type=jnp.int32)
     d3 = jnp.dot(x10, wc_ref[...], preferred_element_type=jnp.int32)
-    inv = sc_ref[b, 1]
-    reim = (
+    return (
         d1.astype(jnp.float32) * 16777216.0
         + d2.astype(jnp.float32) * 65536.0
         + d3.astype(jnp.float32) * 256.0
         + corr_ref[0:1, :]
     ) * inv
-    re = reim[:, :bins_pad]
-    im = reim[:, bins_pad:]
-    p = re * re + im * im
-    mel = _mxu(p, mel_ref, "x3")
-    out_ref[0] = mel.astype(out_dtype)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + pl.program_id(1) * blkf
-    mel_valid = jnp.where(rowid < nf, mel, 0.0)
-    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+
+
+def _kernel_i16(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref, wc_ref,
+                mel_ref, out_ref, bmax_ref, rows_vmem, *, blkf: int,
+                bins_pad: int, widths: tuple, nf: int, out_dtype):
+    """16-bit fixed-point frontend step (algorithm='i16', see
+    :func:`_i16_reim`). Exact for int16-origin audio (the corpus sweep's
+    upload format) at any level; arbitrary f32 audio is 16-bit-quantized
+    relative to the utterance max first (i24 is the full-precision
+    fixed-point mode)."""
+    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+    b = pl.program_id(0)
+    reim = _i16_reim(frames, sc_ref[b, 0], sc_ref[b, 1], corr_ref,
+                     wa_ref, wb_ref, wc_ref)
+    _emit(reim, mel_ref, out_ref, bmax_ref, mel_alg="x3", out_dtype=out_dtype,
+          blkf=blkf, bins_pad=bins_pad, nf=nf, base=pl.program_id(1) * blkf)
 
 
 def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
-                     wc_ref, mel_ref, out_ref, bmax_ref, rows_vmem, reim_vmem,
-                     *, blkf: int, nj: int, bins_pad: int, widths: tuple,
-                     nf: int, out_dtype):
+                     wc_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
+                     reim_vmem, *, blkf: int, nj: int, bins_pad: int,
+                     widths: tuple, nf: int, out_dtype):
     """Two-stage pipelined :func:`_kernel_i16` (schedule of _kernel_pipe)."""
     j = pl.program_id(1)
 
     @pl.when(j > 0)
-    def _emit():
-        reim = reim_vmem[(j - 1) % 2]
-        re = reim[:, :bins_pad]
-        im = reim[:, bins_pad:]
-        p = re * re + im * im
-        mel = _mxu(p, mel_ref, "x3")
-        out_ref[0] = mel.astype(out_dtype)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + (j - 1) * blkf
-        mel_valid = jnp.where(rowid < nf, mel, 0.0)
-        bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+    def _stage_b():
+        _emit(reim_vmem[(j - 1) % 2], mel_ref, out_ref, bmax_ref,
+              mel_alg="x3", out_dtype=out_dtype, blkf=blkf, bins_pad=bins_pad,
+              nf=nf, base=(j - 1) * blkf)
 
     @pl.when(j < nj)
-    def _assemble():
-        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
-        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
-        frames = jnp.concatenate(parts, axis=-1)
+    def _stage_a():
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
         b = pl.program_id(0)
-        f1, f0 = _i16_digits(frames, sc_ref[b, 0])
-        x10 = jnp.concatenate([f1, f0], axis=-1)
-        d1 = jnp.dot(f1, wa_ref[...], preferred_element_type=jnp.int32)
-        d2 = jnp.dot(x10, wb_ref[...], preferred_element_type=jnp.int32)
-        d3 = jnp.dot(x10, wc_ref[...], preferred_element_type=jnp.int32)
-        inv = sc_ref[b, 1]
-        reim_vmem[j % 2] = (
-            d1.astype(jnp.float32) * 16777216.0
-            + d2.astype(jnp.float32) * 65536.0
-            + d3.astype(jnp.float32) * 256.0
-            + corr_ref[0:1, :]
-        ) * inv
+        reim_vmem[j % 2] = _i16_reim(
+            frames, sc_ref[b, 0], sc_ref[b, 1], corr_ref, wa_ref, wb_ref,
+            wc_ref
+        )
 
 
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
             nf: int, algorithm: str, out_dtype, frame_mode: str = "concat"):
-    n_shift = len(widths)
-    # stage the pipelined blocks into one contiguous scratch so the shifted
-    # slices below share a base layout (Mosaic cannot concat views of a
-    # concat with mismatched sublane offsets); the scratch dtype matches the
-    # transport dtype (bf16 in the corpus mode — the f32 round-trip it
-    # replaces was exact on bf16 values, so the numbers are bit-identical
-    # and the staging copy + frame concat halve)
-    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
     if frame_mode == "concat":
-        # frames[i, k*hop:(k+1)*hop] = rows[i+k, :hop] — shifted sublane
-        # slices over the trimmed window support only
-        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(n_shift)]
-        frames = jnp.concatenate(parts, axis=-1)
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
         reim = _mxu(frames, wri_ref, algorithm)
     else:
         # frames @ W == Σ_k rows[k:k+blkf] @ W_k (W_k = rows of W for hop-
         # chunk k, zero-padded to the lane width): no frame materialization
+        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
         reim = jnp.zeros((blkf, 2 * bins_pad), dtype=jnp.float32)
-        for k in range(n_shift):
+        for k in range(len(widths)):
             lhs = rows_vmem[k : k + blkf, :]
             reim = reim + _mxu(
                 lhs, wri_ref[:, k * lane : (k + 1) * lane, :], algorithm
             )
-    re = reim[:, :bins_pad]
-    im = reim[:, bins_pad:]
-    p = re * re + im * im
-    mel = _mxu(p, mel_ref, algorithm)
-    out_ref[0] = mel.astype(out_dtype)
-    # Block max over VALID frames only (global frame index < nf, nf static).
-    # Frames just past nf still window real tail samples (frame i starts at
-    # i*hop - pad < t while i < nf + pad/hop), so an unmasked max could let
-    # a tail transient raise the whole utterance's top_db clip floor.
-    rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + pl.program_id(1) * blkf
-    mel_valid = jnp.where(rowid < nf, mel, 0.0)
-    bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+    _emit(reim, mel_ref, out_ref, bmax_ref, mel_alg=algorithm,
+          out_dtype=out_dtype, blkf=blkf, bins_pad=bins_pad, nf=nf,
+          base=pl.program_id(1) * blkf)
 
 
 def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
@@ -429,29 +399,20 @@ def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
     power/mel stage: block j's DFT (MXU) and block j−1's power (VPU) touch
     disjoint scratch halves, so the scheduler is free to overlap them. The
     emitted numbers are the exact same ops in the exact same order per block
-    — bit-identical to `_kernel` (tests pin this in interpret mode)."""
+    — bit-identical to `_kernel` (tests pin this in interpret mode). Stage B
+    runs first in program order: it reads the parity the previous step
+    wrote, while stage A overwrites the other half."""
     j = pl.program_id(1)
 
-    # stage B first in program order: it reads the parity the previous step
-    # wrote, while stage A below overwrites the other half
     @pl.when(j > 0)
-    def _emit():
-        reim = reim_vmem[(j - 1) % 2]
-        re = reim[:, :bins_pad]
-        im = reim[:, bins_pad:]
-        p = re * re + im * im
-        mel = _mxu(p, mel_ref, algorithm)
-        out_ref[0] = mel.astype(out_dtype)
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (blkf, 1), 0) + (j - 1) * blkf
-        mel_valid = jnp.where(rowid < nf, mel, 0.0)
-        bmax_ref[0, 0] = jnp.full((8, 128), jnp.max(mel_valid), dtype=jnp.float32)
+    def _stage_b():
+        _emit(reim_vmem[(j - 1) % 2], mel_ref, out_ref, bmax_ref,
+              mel_alg=algorithm, out_dtype=out_dtype, blkf=blkf,
+              bins_pad=bins_pad, nf=nf, base=(j - 1) * blkf)
 
     @pl.when(j < nj)
-    def _assemble():
-        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
-        parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
-        frames = jnp.concatenate(parts, axis=-1)
+    def _stage_a():
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
         reim_vmem[j % 2] = _mxu(frames, wri_ref, algorithm)
 
 
@@ -491,11 +452,12 @@ def fused_mel_frontend(
     so it defaults OFF; the path is kept tested for geometries/hardware
     where the MXU:bandwidth ratio differs.
 
-    ``pipeline`` selects the two-stage software-pipelined kernel
-    (:func:`_kernel_pipe`): block j's DFT matmul and block j−1's power/mel
-    run in the same grid step on disjoint scratch halves, freeing the
-    scheduler to overlap MXU and VPU work that `_kernel` serializes.
-    Bit-identical outputs (concat frame mode, non-fold, non-i24 only).
+    ``pipeline`` selects the two-stage software-pipelined kernels
+    (:func:`_kernel_pipe` / :func:`_kernel_i24_pipe` / :func:`_kernel_i16_pipe`):
+    block j's DFT matmul and block j−1's power/mel run in the same grid
+    step on disjoint scratch halves, freeing the scheduler to overlap MXU
+    and VPU work the plain kernels serialize. Bit-identical outputs for
+    every algorithm (concat frame mode, no fold).
     """
     if algorithm is None:
         algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
@@ -521,6 +483,12 @@ def fused_mel_frontend(
         and sup // hop <= _TAIL_ROWS
         and (n_fft // 2 - pw) >= 1
     )
+    if blkf % _TAIL_ROWS:
+        raise ValueError(
+            f"blkf {blkf} must be a multiple of {_TAIL_ROWS} (tail-block "
+            "stride granularity — a non-multiple silently mis-assembles "
+            "frames near block boundaries)"
+        )
     if pipeline and (fold or frame_mode != "concat"):
         raise ValueError("pipeline=True requires concat frame mode, no fold")
     if fold:
@@ -614,271 +582,178 @@ def fused_mel_frontend(
             wri_p[c * lane : c * lane + w_, :ncol] = wr_eff[c * hop : c * hop + w_]
             wri_p[c * lane : c * lane + w_, bins_pad : bins_pad + ncol] = wi_eff[c * hop : c * hop + w_]
 
-    if algorithm == "i24":
+    if algorithm in ("i24", "i16"):
         if frame_mode != "concat":
-            raise ValueError("algorithm='i24' requires frame_mode='concat'")
+            raise ValueError(f"algorithm={algorithm!r} requires frame_mode='concat'")
         w2, w1, w0, sw = _int8_weight_planes(wri_p)
         wa = jnp.asarray(w2)
         wb = jnp.asarray(np.concatenate([w1, w2], axis=0))
-        wc = jnp.asarray(np.concatenate([w0, w1, w2], axis=0))
         mel_in = _stack_weights(m_p, "x3")
-        sc = jnp.concatenate(
-            [i24_scale, 1.0 / (i24_scale * sw)], axis=-1
-        ).astype(jnp.float32)  # [bsz, 2]: (s, 1/(s·Sw))
-        tail_stride = blkf // _TAIL_ROWS
-        if pipeline:
-            kern = partial(
-                _kernel_i24_pipe, blkf=blkf, nj=nj, bins_pad=bins_pad,
-                widths=widths, nf=nf, out_dtype=out_dtype,
+        sc_spec = pl.BlockSpec((bsz, 2), lambda b, j: (0, 0), memory_space=pltpu.SMEM)
+        if algorithm == "i24":
+            wc = jnp.asarray(np.concatenate([w0, w1, w2], axis=0))
+            sc = jnp.concatenate(
+                [i24_scale, 1.0 / (i24_scale * sw)], axis=-1
+            ).astype(jnp.float32)  # [bsz, 2]: (s, 1/(s·Sw))
+            extra_ops = [sc, wa, wb, wc, mel_in]
+            kern_fn = _kernel_i24_pipe if pipeline else _kernel_i24
+        else:
+            wc = jnp.asarray(np.concatenate([w0, w1], axis=0))  # 2K, not 3K
+            # per-utterance POWER-OF-TWO scale: the largest s = 2^k with
+            # max(x)·s ≤ 32767 and −min(x)·s ≤ 32768 (the digit split's
+            # asymmetric int16 range — x1 = −128, x0s = −128 encodes
+            # −32768, so the NEGATIVE bound is a full 2¹⁵; sizing by
+            # max|x| ≤ 32767 instead drops to s = 16384 whenever a −32768
+            # sample is present and puts every odd PCM value on a
+            # half-integer — a 2.2e-3 MFCC regression the parity test
+            # caught). Power-of-two keeps the quantization EXACT for
+            # int16-origin audio at ANY level (x·32768 integral ⇒
+            # x·2^k·32768 integral, k ≥ 15 since max|x| ≤ 1), and lifts
+            # quiet utterances so the 16-bit quantization of arbitrary f32
+            # audio is relative to the UTTERANCE's own scale (a fixed
+            # s = 32768 quantized −60 dBFS material at full-scale-absolute
+            # step size; tests pin the quiet case). Full-scale int16 audio
+            # gets exactly s = 32768 (k = 15 on the /32768 normalization),
+            # i.e. the identity digit split.
+            af = audio.astype(jnp.float32)
+            pmax = jnp.max(af, axis=-1, keepdims=True)
+            nmax = -jnp.min(af, axis=-1, keepdims=True)
+            amax = jnp.maximum(pmax, nmax)
+            # frexp/ldexp, NOT exp2(floor(log2(·))): f32 log2/exp2 are
+            # transcendental approximations and are NOT exact at integer
+            # points on XLA backends (measured: exp2(15.0) → 32767.984 on
+            # CPU) — a non-power-of-two s destroys the exactness property
+            # this mode exists for. frexp(r) = (m, e), m ∈ [0.5, 1), so
+            # the largest power of two ≤ r is 2^(e−1) — all exact bit ops.
+            ratio = 32768.0 / jnp.maximum(amax, 1e-30)
+            s16 = jnp.ldexp(jnp.float32(1.0), jnp.frexp(ratio)[1] - 1)
+            # f32 division slop guard (ratio rounding up across a power of
+            # two): halve wherever either signed bound trips
+            over = (pmax * s16 > 32767.0) | (nmax * s16 > 32768.0)
+            s16 = jnp.where(over, s16 * 0.5, s16)
+            s16 = jnp.minimum(s16, 2.0**60)  # silence: bounded scale, zero output
+            sc = jnp.concatenate([s16, 1.0 / (s16 * sw)], axis=-1).astype(jnp.float32)
+            # low-digit +128 offset: corr[col] = 128·Σ_k round(W[k,col]·Sw)
+            # (= 128·Σ_k (w2·2¹⁶ + w1·2⁸ + w0), exact integers in f64)
+            r_int = (
+                w2.astype(np.float64) * 65536.0
+                + w1.astype(np.float64) * 256.0
+                + w0.astype(np.float64)
             )
-            mel_out, bmax = pl.pallas_call(
-                kern,
-                grid=(bsz, nj + 1),
-                in_specs=[
-                    pl.BlockSpec(
-                        (1, blkf, lane),
-                        lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, _TAIL_ROWS, lane),
-                        lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec((bsz, 2), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-                    pl.BlockSpec(wa.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(wb.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(wc.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec(
-                        (1, blkf, n_mels),
-                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, 1, 8, 128),
-                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
-                    jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32),
-                    pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
-                ],
-            )(audio_p, audio_p, sc, wa, wb, wc, mel_in)
-            return mel_out, bmax
-        kern = partial(
-            _kernel_i24, blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
-            out_dtype=out_dtype,
-        )
-        mel_out, bmax = pl.pallas_call(
-            kern,
-            grid=(bsz, nj),
-            in_specs=[
-                pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, _TAIL_ROWS, lane),
-                    lambda b, j: (b, (j + 1) * tail_stride, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((bsz, 2), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(wa.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(wb.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(wc.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8, 128), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
-                jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
-            ],
-            scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
-        )(audio_p, audio_p, sc, wa, wb, wc, mel_in)
-        return mel_out, bmax
-
-    if algorithm == "i16":
-        if frame_mode != "concat":
-            raise ValueError("algorithm='i16' requires frame_mode='concat'")
-        w2, w1, w0, sw = _int8_weight_planes(wri_p)
-        wa = jnp.asarray(w2)
-        wb = jnp.asarray(np.concatenate([w1, w2], axis=0))
-        wc = jnp.asarray(np.concatenate([w0, w1], axis=0))  # 2K, not 3K
-        mel_in = _stack_weights(m_p, "x3")
-        # fixed 16-bit scale (int16 PCM is x·32768 ∈ [−32768, 32767] exactly)
-        s16 = 32768.0
-        sc = jnp.broadcast_to(
-            jnp.asarray([s16, 1.0 / (s16 * sw)], jnp.float32), (bsz, 2)
-        )
-        # low-digit +128 offset: corr[col] = 128·Σ_k round(W[k,col]·Sw)
-        # (= 128·Σ_k (w2·2¹⁶ + w1·2⁸ + w0), exact integers in f64)
-        r_int = (
-            w2.astype(np.float64) * 65536.0
-            + w1.astype(np.float64) * 256.0
-            + w0.astype(np.float64)
-        )
-        corr = np.zeros((8, 2 * bins_pad), np.float32)
-        corr[0, :] = (128.0 * r_int.sum(axis=0)).astype(np.float32)
-        corr_in = jnp.asarray(corr)
-        tail_stride = blkf // _TAIL_ROWS
-        common_kw = dict(blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
-                         out_dtype=out_dtype)
-        fixed_specs = [
-            pl.BlockSpec((bsz, 2), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(corr_in.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(wa.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(wb.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(wc.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            corr = np.zeros((8, 2 * bins_pad), np.float32)
+            corr[0, :] = (128.0 * r_int.sum(axis=0)).astype(np.float32)
+            extra_ops = [sc, jnp.asarray(corr), wa, wb, wc, mel_in]
+            kern_fn = _kernel_i16_pipe if pipeline else _kernel_i16
+        extra_specs = [sc_spec] + [
+            pl.BlockSpec(op.shape, (lambda b, j: (0, 0, 0)) if op.ndim == 3 else (lambda b, j: (0, 0)), memory_space=pltpu.VMEM)
+            for op in extra_ops[1:]
         ]
-        out_shape = [
-            jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
-            jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
-        ]
+        kw = dict(blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
+                  out_dtype=out_dtype)
         if pipeline:
-            mel_out, bmax = pl.pallas_call(
-                partial(_kernel_i16_pipe, nj=nj, **common_kw),
-                grid=(bsz, nj + 1),
-                in_specs=[
-                    pl.BlockSpec(
-                        (1, blkf, lane),
-                        lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, _TAIL_ROWS, lane),
-                        lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ] + fixed_specs,
-                out_specs=[
-                    pl.BlockSpec(
-                        (1, blkf, n_mels),
-                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, 1, 8, 128),
-                        lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_shape=out_shape,
-                scratch_shapes=[
-                    pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32),
-                    pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
-                ],
-            )(audio_p, audio_p, sc, corr_in, wa, wb, wc, mel_in)
-            return mel_out, bmax
-        mel_out, bmax = pl.pallas_call(
-            partial(_kernel_i16, **common_kw),
-            grid=(bsz, nj),
-            in_specs=[
-                pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (1, _TAIL_ROWS, lane),
-                    lambda b, j: (b, (j + 1) * tail_stride, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ] + fixed_specs,
-            out_specs=[
-                pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8, 128), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_shape=out_shape,
-            scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), jnp.float32)],
-        )(audio_p, audio_p, sc, corr_in, wa, wb, wc, mel_in)
-        return mel_out, bmax
+            kw["nj"] = nj
+        return _launch(
+            partial(kern_fn, **kw), pipelined=pipeline, audio_p=audio_p,
+            extra_ops=extra_ops, extra_specs=extra_specs, bsz=bsz, nj=nj,
+            blkf=blkf, lane=lane, n_mels=n_mels, nf_pad=nf_pad,
+            out_dtype=out_dtype, row_dtype=jnp.float32, bins_pad=bins_pad,
+        )
 
     wri_in = _stack_weights(wri_p, algorithm)
     mel_in = _stack_weights(m_p, algorithm)
-    tail_stride = blkf // _TAIL_ROWS
     # staging scratch in the transport dtype (bf16 in the corpus mode): the
     # f32 round-trip it replaces was exact on bf16 values — bit-identical
     row_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    extra_ops = [wri_in, mel_in]
+    extra_specs = [
+        pl.BlockSpec(wri_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
     if pipeline:
-        if frame_mode != "concat":
-            raise ValueError("pipeline=True requires frame_mode='concat'")
         kern = partial(
             _kernel_pipe, blkf=blkf, nj=nj, bins_pad=bins_pad, widths=widths,
             nf=nf, algorithm=algorithm, out_dtype=out_dtype,
         )
-        mel_out, bmax = pl.pallas_call(
-            kern,
-            grid=(bsz, nj + 1),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, blkf, lane),
-                    lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, _TAIL_ROWS, lane),
-                    lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(wri_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (1, blkf, n_mels),
-                    lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, 8, 128),
-                    lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
-                jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((blkf + _TAIL_ROWS, lane), row_dtype),
-                pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
-            ],
-        )(audio_p, audio_p, wri_in, mel_in)
-        return mel_out, bmax
-    kern = partial(
-        _kernel, blkf=blkf, hop=hop, lane=lane, bins_pad=bins_pad,
-        widths=widths, nf=nf, algorithm=algorithm, out_dtype=out_dtype,
-        frame_mode=frame_mode,
+    else:
+        kern = partial(
+            _kernel, blkf=blkf, hop=hop, lane=lane, bins_pad=bins_pad,
+            widths=widths, nf=nf, algorithm=algorithm, out_dtype=out_dtype,
+            frame_mode=frame_mode,
+        )
+    return _launch(
+        kern, pipelined=pipeline, audio_p=audio_p, extra_ops=extra_ops,
+        extra_specs=extra_specs, bsz=bsz, nj=nj, blkf=blkf, lane=lane,
+        n_mels=n_mels, nf_pad=nf_pad, out_dtype=out_dtype,
+        row_dtype=row_dtype, bins_pad=bins_pad,
     )
-    mel_out, bmax = pl.pallas_call(
-        kern,
-        grid=(bsz, nj),
-        in_specs=[
-            pl.BlockSpec((1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+
+
+def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
+            blkf, lane, n_mels, nf_pad, out_dtype, row_dtype, bins_pad):
+    """Build and run one frontend pallas_call — the single home of the
+    grid/BlockSpec geometry shared by every algorithm (code-review r3s6:
+    this was triplicated and would silently diverge under maintenance).
+
+    Plain: grid (bsz, nj), block j reads its own main+tail rows and writes
+    block j. Pipelined: grid (bsz, nj+1); the main/tail index maps clamp at
+    the last real block (the clamped revisit elides the re-fetch) and the
+    output index maps TRAIL the grid by one step (block j−1 is emitted at
+    step j; Pallas flushes an output buffer when its block index changes,
+    so the j=0 write — skipped by the kernel's stage guard — is never
+    observed). Scratch: rows staging in the transport dtype, plus the
+    pipelined two-parity reim buffer."""
+    tail_stride = blkf // _TAIL_ROWS
+    if pipelined:
+        grid = (bsz, nj + 1)
+        main_spec = pl.BlockSpec(
+            (1, blkf, lane), lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+        tail_spec = pl.BlockSpec(
+            (1, _TAIL_ROWS, lane),
+            lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [
             pl.BlockSpec(
-                (1, _TAIL_ROWS, lane),
-                lambda b, j: (b, (j + 1) * tail_stride, 0),
+                (1, blkf, n_mels), lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(wri_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(mel_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        scratch = [
+            pltpu.VMEM((blkf + _TAIL_ROWS, lane), row_dtype),
+            pltpu.VMEM((2, blkf, 2 * bins_pad), jnp.float32),
+        ]
+    else:
+        grid = (bsz, nj)
+        main_spec = pl.BlockSpec(
+            (1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+        )
+        tail_spec = pl.BlockSpec(
+            (1, _TAIL_ROWS, lane),
+            lambda b, j: (b, (j + 1) * tail_stride, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [
             pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8, 128), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        scratch = [pltpu.VMEM((blkf + _TAIL_ROWS, lane), row_dtype)]
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[main_spec, tail_spec] + extra_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((bsz, nf_pad, n_mels), out_dtype),
             jax.ShapeDtypeStruct((bsz, nj, 8, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((blkf + _TAIL_ROWS, lane), row_dtype)],
-    )(audio_p, audio_p, wri_in, mel_in)
-    return mel_out, bmax
+        scratch_shapes=scratch,
+    )(audio_p, audio_p, *extra_ops)
 
 
 def _folded_frontend(
@@ -1081,11 +956,14 @@ def fused_mfcc(
         audio = audio[None, :]
     t = audio.shape[-1]
     nf = 1 + t // hop
-    # hardware A/B knobs (docs/DESIGN.md §5: the bf16 mode's fixed frontend
+    # hardware A/B knobs (docs/DESIGN.md §8: the bf16 mode's fixed frontend
     # cost F ≈ 6.2 ms is per-grid-step serial VPU work + prep, not MXU —
-    # blkf scales the step count, pipeline overlaps VPU with MXU)
-    blkf = int(os.environ.get("MODMFCC_BLKF", "1024"))
-    pipeline = os.environ.get("MODMFCC_FRONTEND_PIPE", "0") == "1"
+    # blkf scales the step count, pipeline overlaps VPU with MXU). Cached
+    # jit wrappers upstream carry frontend_knobs() in their static keys so
+    # this trace-time read cannot go stale (pallas/knobs.py).
+    from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+
+    blkf, pipeline = frontend_knobs()
     mel, bmax = fused_mel_frontend(
         audio,
         sr=sr,

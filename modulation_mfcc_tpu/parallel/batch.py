@@ -110,8 +110,12 @@ def batched_mfcc_change(
     return tot, mask
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_fft", "mesh", "spectrum", "masked_fir"))
-def _sharded_impl(samples, lengths, cfg, use_fft, mesh, spectrum, masked_fir):
+# `knobs` = frontend_knobs(), in the key so pallas-frontend env knobs read at
+# trace time can't go stale in the jit cache (pallas/knobs.py)
+@partial(jax.jit, static_argnames=("cfg", "use_fft", "mesh", "spectrum",
+                                   "masked_fir", "knobs"))
+def _sharded_impl(samples, lengths, cfg, use_fft, mesh, spectrum, masked_fir,
+                  knobs=None):
     samples = jax.lax.with_sharding_constraint(
         samples, NamedSharding(mesh, P("data", None))
     )
@@ -132,6 +136,9 @@ def sharded_mfcc_change(
 ):
     """Data-parallel extraction over the mesh's 'data' axis (pjit-style GSPMD:
     shardings annotated, collectives inserted by XLA)."""
+    from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+
     return _sharded_impl(
-        batch.samples, batch.lengths, cfg, use_fft, mesh, spectrum, masked_fir
+        batch.samples, batch.lengths, cfg, use_fft, mesh, spectrum, masked_fir,
+        knobs=frontend_knobs(),
     )

@@ -39,10 +39,11 @@ __all__ = ["CorpusSweep", "sweep_mfcc_change"]
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "spectrum", "features", "f0cfg", "acfg", "fmcfg", "mesh",
+        "cfg", "spectrum", "features", "f0cfg", "acfg", "fmcfg", "mesh", "knobs",
     ),
 )
-def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg, mesh):
+def _extras_impl(samples, lengths, cfg, spectrum, features, f0cfg, acfg, fmcfg,
+                 mesh, knobs=None):
     """All requested extra feature tracks in ONE compiled program.
 
     One execution + one host fetch per batch instead of one round trip per
@@ -120,6 +121,10 @@ class CorpusSweep:
     cfg: MfccConfig = MfccConfig()
     batch_size: int = 32
     bucket_multiple: int = 16_384
+    # 'pallas_i16' is the natural PARITY sweep: corpus audio reaches the
+    # device as int16 (the upload format), exactly the i16 mode's
+    # exactness domain — ≤1e-4 MFCC parity at fixed-point speed.
+    # 'pallas_bf16' is the throughput mode (BASELINE config #5).
     spectrum: str = "pallas"
     resume: bool = True
     use_native_loader: bool = True  # C++ threaded decode+resample when built
@@ -321,9 +326,12 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
         result, so each batch costs one host round trip total."""
         if not jit_feats:
             return None
+        from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+
         return _extras_impl(
             samples_d, lengths_d, sweep.cfg, sweep.spectrum,
             jit_feats, f0cfg, acfg, fmcfg, sweep.mesh,
+            knobs=frontend_knobs(),
         )
 
     def assemble_extras(host, samples_d, lengths_d):

@@ -283,6 +283,66 @@ def test_i16_matches_f32_grade_on_int16_audio():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_i16_quiet_audio_per_utterance_scale():
+    """i16 must stay f32-grade on QUIET int16 material too: a fixed
+    s = 32768 quantized a −60 dBFS utterance at full-scale-absolute step
+    size (~3e-2 at the MFCC surface) — fixed by the per-utterance
+    power-of-two scale (each batch row gets its OWN scale; the exactness
+    property, x·s integral for int16-origin PCM at any level, survives the
+    scaling). The scale must be a true power of two — derived via
+    frexp/ldexp because f32 exp2/log2 are inexact at integer points on XLA
+    backends (exp2(15.0) → 32767.984 on CPU, a measured 2.2e-3
+    regression). This fixture also makes x0s ≡ −128 (X is an exact
+    multiple of 256), the worst data case for _i16_reim's dropped x0s·w0
+    digit term, bounding it here.
+
+    Comparison structure: the strict bar is RELATIVE error at the MEL
+    surface vs a float64 oracle — that is i16's actual claim (f32-grade
+    DFT+mel at any level). Measured here: 1.40e-4 worst-mel (the f32
+    algorithm's own rounding is 6.8e-5; the other ~7e-5 is _i16_reim's
+    dropped x0s·w0 digit term at its data worst case — restoring it with a
+    4th dot measured 7.0e-5 total but costs a 6th K-row, rejected). Bound
+    2e-4; one worst-case mel at 1.4e-4 is ≤ 4.34·1.4e-4·0.125 ≈ 7.6e-5
+    per MFCC coefficient — inside the ≤1e-4 budget. At the MFCC surface
+    quiet audio drives every mel-dB to ~−60,
+    so |c0| ≈ 679 where the f32 ulp is 6e-5 and a 128-term f32 dot
+    necessarily wobbles ~√128·ulp/2 ≈ 3e-4 — an absolute 1e-4 there
+    demands 1.5e-7 relative, below f32 representability, for ANY f32
+    pipeline (measured: the f32 algorithm misses it identically, 3.66e-4).
+    The MFCC-surface assert is therefore 5e-4 — still far below the
+    2.2e-3/3e-2 regression classes this test exists to catch."""
+    from modulation_mfcc_tpu.ops.spectral import dft_bases, mel_filterbank
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    rng = np.random.default_rng(7)
+    loud = rng.integers(-32768, 32768, 24_000)
+    quiet = rng.integers(-33, 34, 24_000)  # ~-60 dBFS
+    pcm = np.stack([loud, quiet]).astype(np.int16)
+    a64 = pcm.astype(np.float64) / 32768.0
+    a = jnp.asarray(a64.astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        mel, _ = fused_mel_frontend(a, sr=16_000.0, hop=80, win_length=400,
+                                    fmax=8000.0, algorithm="i16")
+        got = np.asarray(
+            fused_mfcc(a, sr=16_000.0, hop=80, win_length=400, fmax=8000.0,
+                       algorithm="i16")
+        )
+    # float64 oracle mel (centered framing, windowed-DFT bases, Slaney mel)
+    wr, wi = dft_bases(512, "hann", 400)
+    m = mel_filterbank(16_000.0, 512, 128, 100.0, 8000.0)
+    pad = np.pad(a64, ((0, 0), (256, 256)))
+    nf = 1 + 24_000 // 80
+    fr = np.stack([[pad[r, i * 80 : i * 80 + 512] for i in range(nf)]
+                   for r in range(2)])
+    want_mel = ((fr @ wr) ** 2 + (fr @ wi) ** 2) @ m.T
+    rel = (np.asarray(mel, np.float64)[:, :nf] - want_mel) / np.maximum(
+        np.abs(want_mel), 1e-300
+    )
+    assert np.abs(rel).max() <= 2e-4
+    want = np.asarray(_reference(a))
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 def test_i16_pipeline_bit_identical():
     """Pipelined i16 == plain i16 bitwise (same schedule proof as the other
     modes; i16 has its own kernel pair because of the corr input)."""
