@@ -325,9 +325,10 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> None:
     import subprocess
 
     if max_tries is None:
-        # MODMFCC_BENCH_BACKEND_TRIES=12 ≈ 1 h of patience for a dead
-        # tunnel at round end (each try: ≤3 min probe + 2 min backoff)
-        max_tries = int(os.environ.get("MODMFCC_BENCH_BACKEND_TRIES", "5"))
+        # 12 tries ≈ 1 h of patience for a dead tunnel at round end (each
+        # try: ≤3 min probe + 2 min backoff) — the 2026-08-17 outage lasted
+        # many hours and the artifact is worth waiting for
+        max_tries = int(os.environ.get("MODMFCC_BENCH_BACKEND_TRIES", "12"))
     for attempt in range(max_tries):
         try:
             r = subprocess.run(
@@ -353,18 +354,25 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> None:
 def main() -> None:
     _await_backend()
     batch, seconds, n_super = 128, 30.0, 8
-    bf16 = _throughput("pallas_bf16", batch, seconds, n_super)
-    f32 = _throughput("pallas", batch, seconds, n_super)
-    i24 = _throughput("pallas_i24", batch, seconds, n_super)
-    x3 = _throughput("pallas_x3", batch, seconds, n_super)
-    i16 = None  # 16-bit fixed-point parity mode (exact for int16-origin audio)
-    # secondary fields: a failure in any one must not sink the artifact
+
+    # every field is guarded: a failure in any one must not sink the artifact
     def _try(fn, *a, **k):
         try:
             return round(fn(*a, **k), 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
             print(f"# {fn.__name__} failed: {e!r}", file=sys.stderr)
             return None
+
+    bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
+    if bf16 is None:
+        # the headline: re-probe the backend once (a mid-run tunnel flap
+        # poisons this process's cached backend only for NEW compiles, and
+        # a subprocess probe tells us whether waiting can help) and retry
+        _await_backend(max_tries=6)
+        bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
+    f32 = _try(_throughput, "pallas", batch, seconds, n_super)
+    i24 = _try(_throughput, "pallas_i24", batch, seconds, n_super)
+    x3 = _try(_throughput, "pallas_x3", batch, seconds, n_super)
 
     # cross-engine gates, ONCE each (small compiles): a failed gate or a
     # failed Pallas timing demotes the field to the XLA engines and the
@@ -395,13 +403,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "mfcc_modulation_throughput",
-                "value": round(bf16, 3),
+                "value": bf16,
                 "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
-                "vs_baseline": round(bf16 / per_chip_target, 4),
-                "f32_parity_mode": round(f32, 3),
-                "i24_parity_mode": round(i24, 3),
+                "vs_baseline": round(bf16 / per_chip_target, 4) if bf16 else None,
+                "f32_parity_mode": f32,
+                "i24_parity_mode": i24,
                 "i16_parity_mode": i16,
-                "f32_x3_mode": round(x3, 3),
+                "f32_x3_mode": x3,
                 "tracker_sweep": trackers,
                 "pyin_sweep": pyin,
                 "pyin_sweep_16k": pyin16,
