@@ -405,7 +405,7 @@ def main() -> None:
                 "metric": "mfcc_modulation_throughput",
                 "value": bf16,
                 "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
-                "vs_baseline": round(bf16 / per_chip_target, 4) if bf16 else None,
+                "vs_baseline": round(bf16 / per_chip_target, 4) if bf16 is not None else None,
                 "f32_parity_mode": f32,
                 "i24_parity_mode": i24,
                 "i16_parity_mode": i16,

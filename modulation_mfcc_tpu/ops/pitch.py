@@ -235,7 +235,7 @@ def _refine_sinc_dense(
         "sinc_engine",
     ),
 )
-def pitch_ac(
+def _pitch_ac_jit(
     x: jnp.ndarray,
     *,
     sr: float,
@@ -474,12 +474,9 @@ def pitch_ac(
     # in VMEM (pallas/sinc_refine.py — the XLA banded GEMM materializes
     # ~874 MB at 32×30 s scale and measured 16.6 ms on ~3 ms of MXU work);
     # elsewhere (and for f64) the XLA form computes the identical band.
-    # MODMFCC_SINC_ENGINE overrides the 'auto' default (trace-time read) —
-    # the production escape hatch if a runtime's Mosaic rejects the kernel.
-    import os
-
-    if sinc_engine == "auto":
-        sinc_engine = os.environ.get("MODMFCC_SINC_ENGINE", "auto")
+    # (The MODMFCC_SINC_ENGINE env escape hatch is resolved in the public
+    # pitch_ac wrapper, BEFORE the jit cache lookup — resolving it here
+    # would bake the old value into a memoized trace.)
     use_pallas_sinc = sinc_engine == "pallas" or (
         sinc_engine == "auto"
         and jax.default_backend() == "tpu"
@@ -570,3 +567,19 @@ def pitch_ac(
         jnp.where(path[:, None] == jnp.arange(k_tot), all_freq, 0.0), axis=-1
     )
     return f0
+
+
+def pitch_ac(x: jnp.ndarray, *, sinc_engine: str = "auto", **kw) -> jnp.ndarray:
+    """Public entry — see ``_pitch_ac_jit`` for the full signature/docs.
+
+    Resolves the MODMFCC_SINC_ENGINE escape hatch BEFORE the jit cache
+    lookup so the resolved engine is the static key: an env change between
+    calls retraces instead of silently reusing a trace compiled under the
+    old engine (code-review finding, r3 session 7). Memoized wrappers that
+    trace this (parallel/corpus._extras_impl) additionally carry
+    ``pallas.knobs.tracker_knobs()`` in their static keys."""
+    if sinc_engine == "auto":
+        from modulation_mfcc_tpu.pallas.knobs import tracker_knobs
+
+        sinc_engine = tracker_knobs()[0]
+    return _pitch_ac_jit(x, sinc_engine=sinc_engine, **kw)

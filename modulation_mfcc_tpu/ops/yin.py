@@ -297,7 +297,7 @@ def _transition_local(n_states: int, width: float) -> np.ndarray:
         "viterbi_engine",
     ),
 )
-def pyin_f0(
+def _pyin_f0_jit(
     x: jnp.ndarray,
     *,
     sr: float,
@@ -584,13 +584,9 @@ def pyin_f0(
     # backtrace below decodes the same path either way.
     # The kernels stream frame chunks through VMEM, so the only size limit
     # is the HBM delta-history buffer (~[NF, 2·nbl]·f32) — cap generously.
-    # MODMFCC_VITERBI_ENGINE overrides the 'auto' default (read at trace
-    # time) — the production escape hatch if a runtime's Mosaic rejects
-    # the kernels.
-    import os
-
-    if viterbi_engine == "auto":
-        viterbi_engine = os.environ.get("MODMFCC_VITERBI_ENGINE", "auto")
+    # (The MODMFCC_VITERBI_ENGINE env escape hatch is resolved in the
+    # public pyin_f0 wrapper, BEFORE the jit cache lookup — resolving it
+    # here would bake the old value into a memoized trace.)
     fits = nf > 1 and cm.dtype == jnp.float32 and nf <= 200_000
     use_fused_vit = fits and (
         viterbi_engine == "pallas_full"
@@ -659,3 +655,19 @@ def pyin_f0(
     bin_of = jnp.where(voiced, path, path - n_bins)
     f0 = fmin * 2.0 ** (bin_of.astype(cm.dtype) / (12.0 * nbps))
     return jnp.where(voiced, f0, 0.0)
+
+
+def pyin_f0(x: jnp.ndarray, *, viterbi_engine: str = "auto", **kw) -> jnp.ndarray:
+    """Public entry — see ``_pyin_f0_jit`` for the full signature/docs.
+
+    Resolves the MODMFCC_VITERBI_ENGINE escape hatch BEFORE the jit cache
+    lookup so the resolved engine is the static key: an env change between
+    calls retraces instead of silently reusing a trace compiled under the
+    old engine (code-review finding, r3 session 7). Memoized wrappers that
+    trace this (parallel/corpus._extras_impl) additionally carry
+    ``pallas.knobs.tracker_knobs()`` in their static keys."""
+    if viterbi_engine == "auto":
+        from modulation_mfcc_tpu.pallas.knobs import tracker_knobs
+
+        viterbi_engine = tracker_knobs()[1]
+    return _pyin_f0_jit(x, viterbi_engine=viterbi_engine, **kw)

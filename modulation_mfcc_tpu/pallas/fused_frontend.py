@@ -69,7 +69,6 @@ MXU-shape notes (measured on v5e):
 """
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import numpy as np
@@ -483,11 +482,11 @@ def fused_mel_frontend(
         and sup // hop <= _TAIL_ROWS
         and (n_fft // 2 - pw) >= 1
     )
-    if blkf % _TAIL_ROWS:
+    if blkf <= 0 or blkf % _TAIL_ROWS:
         raise ValueError(
-            f"blkf {blkf} must be a multiple of {_TAIL_ROWS} (tail-block "
-            "stride granularity — a non-multiple silently mis-assembles "
-            "frames near block boundaries)"
+            f"blkf {blkf} must be a positive multiple of {_TAIL_ROWS} "
+            "(tail-block stride granularity — a non-multiple silently "
+            "mis-assembles frames near block boundaries)"
         )
     if pipeline and (fold or frame_mode != "concat"):
         raise ValueError("pipeline=True requires concat frame mode, no fold")

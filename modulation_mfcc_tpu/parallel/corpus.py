@@ -326,12 +326,12 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
         result, so each batch costs one host round trip total."""
         if not jit_feats:
             return None
-        from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+        from modulation_mfcc_tpu.pallas.knobs import frontend_knobs, tracker_knobs
 
         return _extras_impl(
             samples_d, lengths_d, sweep.cfg, sweep.spectrum,
             jit_feats, f0cfg, acfg, fmcfg, sweep.mesh,
-            knobs=frontend_knobs(),
+            knobs=(frontend_knobs(), tracker_knobs()),
         )
 
     def assemble_extras(host, samples_d, lengths_d):

@@ -377,3 +377,53 @@ def test_i16_public_spectrum_dispatch():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(mfcc_change(jnp.asarray(a), cfg, spectrum="pallas_i16"))
     assert np.abs(got - want).max() < 5e-5
+
+
+def test_blkf_validation(monkeypatch):
+    """Bad MODMFCC_BLKF values die with a clear ValueError, not shape
+    garbage deep in the launch (code-review finding, r3 session 7)."""
+    import pytest
+
+    from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+
+    for bad in ("0", "-16"):
+        monkeypatch.setenv("MODMFCC_BLKF", bad)
+        with pytest.raises(ValueError, match="positive multiple"):
+            frontend_knobs()
+    monkeypatch.setenv("MODMFCC_BLKF", "24")  # positive but not 16-aligned
+    blkf, _ = frontend_knobs()  # granularity is the kernel's check
+    assert blkf == 24
+
+
+def test_tracker_engine_env_resolved_before_jit_cache(monkeypatch):
+    """MODMFCC_{SINC,VITERBI}_ENGINE must take effect between calls in ONE
+    process: the public wrappers resolve the env into the jit static key,
+    so a post-first-call env change cannot hit a stale memoized trace
+    (code-review finding, r3 session 7)."""
+    import modulation_mfcc_tpu.ops.pitch as P
+    import modulation_mfcc_tpu.ops.yin as Y
+
+    seen = []
+
+    def spy_pitch(x, *, sinc_engine="auto", **kw):
+        seen.append(("sinc", sinc_engine))
+
+    def spy_pyin(x, *, viterbi_engine="auto", **kw):
+        seen.append(("vit", viterbi_engine))
+
+    monkeypatch.setattr(P, "_pitch_ac_jit", spy_pitch)
+    monkeypatch.setattr(Y, "_pyin_f0_jit", spy_pyin)
+    P.pitch_ac(None, sr=10_000.0)
+    Y.pyin_f0(None, sr=10_000.0)
+    monkeypatch.setenv("MODMFCC_SINC_ENGINE", "xla")
+    monkeypatch.setenv("MODMFCC_VITERBI_ENGINE", "xla")
+    P.pitch_ac(None, sr=10_000.0)
+    Y.pyin_f0(None, sr=10_000.0)
+    # an explicit engine argument always wins over the env
+    P.pitch_ac(None, sr=10_000.0, sinc_engine="pallas")
+    Y.pyin_f0(None, sr=10_000.0, viterbi_engine="pallas_full")
+    assert seen == [
+        ("sinc", "auto"), ("vit", "auto"),
+        ("sinc", "xla"), ("vit", "xla"),
+        ("sinc", "pallas"), ("vit", "pallas_full"),
+    ]
