@@ -312,7 +312,7 @@ def _pyin_engines_agree(sr: int = 10_000) -> float:
     return 1.0
 
 
-def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> None:
+def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> bool:
     """Don't let a transient tunnel outage cost the round its artifact.
 
     The remote TPU backend occasionally fails to initialize (UNAVAILABLE)
@@ -338,7 +338,7 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> None:
                 timeout=180, capture_output=True, env=os.environ,
             )
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if attempt < max_tries - 1:
@@ -346,13 +346,22 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> None:
                   f"retrying in {wait_s:.0f}s", file=sys.stderr)
             time.sleep(wait_s)
         else:
-            print(f"# backend probe {attempt + 1}/{max_tries} failed; "
-                  "proceeding (the real error will surface below)",
+            print(f"# backend probe {attempt + 1}/{max_tries} failed",
                   file=sys.stderr)
+    return False
 
 
 def main() -> None:
-    _await_backend()
+    if not _await_backend():
+        # a dead remote backend HANGS jax calls (init blocks forever, no
+        # error) — emit the null artifact instead of hanging the driver
+        print(json.dumps({
+            "metric": "mfcc_modulation_throughput", "value": None,
+            "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
+            "vs_baseline": None,
+            "error": "TPU backend unreachable after backend-probe patience",
+        }))
+        return
     batch, seconds, n_super = 128, 30.0, 8
 
     # every field is guarded: a failure in any one must not sink the artifact
@@ -365,11 +374,12 @@ def main() -> None:
 
     bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
     if bf16 is None:
-        # the headline: re-probe the backend once (a mid-run tunnel flap
+        # the headline: re-probe the backend (a mid-run tunnel flap
         # poisons this process's cached backend only for NEW compiles, and
         # a subprocess probe tells us whether waiting can help) and retry
-        _await_backend(max_tries=6)
-        bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
+        # — but only if the probe answers, a dead backend hangs jax calls
+        if _await_backend(max_tries=6):
+            bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
     f32 = _try(_throughput, "pallas", batch, seconds, n_super)
     i24 = _try(_throughput, "pallas_i24", batch, seconds, n_super)
     x3 = _try(_throughput, "pallas_x3", batch, seconds, n_super)
