@@ -127,7 +127,8 @@ def _cmndf_nfft(m: int) -> int:
 
 
 def _sliding_cmndf(
-    xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int
+    xp: jnp.ndarray, nf: int, hop: int, w: int, max_lag: int,
+    engine: str = "fft",
 ) -> jnp.ndarray:
     """librosa CMNDF d'(τ), τ∈[0, max_lag], for frames starting at f·hop,
     via ROW-LEVEL FFT correlations — no frame matrix, no per-τ loop.
@@ -154,6 +155,17 @@ def _sliding_cmndf(
 
     Equal to ``yin_cmndf(frame_by_slices(xp, 0, nf, w+max_lag+1, hop),
     max_lag, win_length=w)`` up to float reduction order.
+
+    ``engine='mxu'`` computes the SAME row correlations with host-built
+    real-DFT matmuls at HIGHEST precision instead of FFT kernels — the
+    transform trick that took the pitch tracker's autocorrelation from
+    ~20 to ~2 ms on v5e (ops/pitch.py _dft_mats): forward projections are
+    one [rows, n_in]·[n_in, 2K] matmul each, the cross-spectrum is an
+    elementwise complex product expressed on the real/imag planes, and the
+    inverse transform is two [K, L] matmuls. Equal to the FFT engine up to
+    float reduction order (the decoded pitch bins may differ on voicing-
+    boundary frames; 'fft' stays the parity default — librosa itself is
+    FFT-based).
     """
     q1, rem1 = divmod(w + 1, hop)  # cross windows are w+1 products long
     q2, rem2 = divmod(w, hop)  # energy windows are w products long
@@ -181,17 +193,36 @@ def _sliding_cmndf(
     ctx = jax.lax.slice_in_dim(jnp.concatenate(shifts, axis=-1), 0, m_ctx, axis=-1)
 
     dtype = xp.dtype
-    fc = jnp.fft.rfft(ctx, n=nfft, axis=-1)
-    fr = jnp.fft.rfft(rows, n=nfft, axis=-1)
-    # circular correlation == linear here: r + λ ≤ hop-1 + max_lag+1 < nfft
-    p_full = jnp.fft.irfft(jnp.conj(fr) * fc, n=nfft, axis=-1)
+    L = max_lag + 1
+    cc_re = cc_im = cs_r = ct = st = None
+    if engine == "mxu":
+        from modulation_mfcc_tpu.ops.pitch import _dft_mats, _dot
+
+        kb, cs_c, ct, st = _dft_mats(m_ctx, nfft, L, dtype, want_sin=True)
+        _, cs_r, _, _ = _dft_mats(hop, nfft, 1, dtype)
+        pc = _dot(ctx, cs_c)
+        cc_re, cc_im = pc[..., :kb], -pc[..., kb:]
+
+        def _corr_rows(rseg, mats):
+            """irfft(conj(rfft(rseg)) · rfft(ctx))[0:L] on the real planes."""
+            pr = _dot(rseg, mats)
+            rr_re, rr_im = pr[..., :kb], -pr[..., kb:]
+            g_re = rr_re * cc_re + rr_im * cc_im
+            g_im = rr_re * cc_im - rr_im * cc_re
+            return _dot(g_re, ct) - _dot(g_im, st)
+
+        p_full = _corr_rows(rows, cs_r)
+    else:
+        fc = jnp.fft.rfft(ctx, n=nfft, axis=-1)
+        fr = jnp.fft.rfft(rows, n=nfft, axis=-1)
+        # circular correlation == linear here: r + λ ≤ hop-1 + max_lag+1 < nfft
+        p_full = jnp.fft.irfft(jnp.conj(fr) * fc, n=nfft, axis=-1)
     # energy row term = correlation against a ONES window = a difference of
     # prefix sums of C² — one cumsum replaces three transforms (rfft of C²
     # plus the full- and partial-window irffts); λ+hop ≤ m_ctx by
     # construction so every read stays inside the context
     s_inc = jnp.cumsum(ctx * ctx, axis=-1)
 
-    L = max_lag + 1
     # λ-aligned energy rows: index i carries λ = i+1 (window_sum lag_lo=0)
     q_lam = (
         jax.lax.slice_in_dim(s_inc, hop, hop + L, axis=-1)
@@ -213,8 +244,12 @@ def _sliding_cmndf(
 
     pp = None
     if rem1:
-        fr1 = jnp.fft.rfft(jax.lax.slice_in_dim(rows, 0, rem1, axis=-1), n=nfft, axis=-1)
-        pp = jnp.fft.irfft(jnp.conj(fr1) * fc, n=nfft, axis=-1)
+        rseg = jax.lax.slice_in_dim(rows, 0, rem1, axis=-1)
+        if engine == "mxu":
+            pp = _corr_rows(rseg, cs_r[:rem1])
+        else:
+            fr1 = jnp.fft.rfft(rseg, n=nfft, axis=-1)
+            pp = jnp.fft.irfft(jnp.conj(fr1) * fc, n=nfft, axis=-1)
     cross = window_sum(p_full, pp, q1, rem1, 0)
 
     qp_lam = None
@@ -295,6 +330,7 @@ def _transition_local(n_states: int, width: float) -> np.ndarray:
         "center",
         "pad_mode",
         "viterbi_engine",
+        "cmndf_engine",
     ),
 )
 def _pyin_f0_jit(
@@ -316,6 +352,7 @@ def _pyin_f0_jit(
     center: bool = True,
     pad_mode: str = "constant",
     viterbi_engine: str = "auto",
+    cmndf_engine: str = "fft",
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN).
 
@@ -363,7 +400,7 @@ def _pyin_f0_jit(
     # function ~7.5×. Frameless path: window sums over global product
     # series (see _sliding_cmndf) — no frame matrix, no FFTs.
     ml = max_lag_f0
-    cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml)
+    cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml, engine=cmndf_engine)
     # All troughs live in the static lag band [min_lag, max_lag_f0] — the
     # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
     # the full lag axis (L≈frame_length/2) that is ~GBs per utterance and

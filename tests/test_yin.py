@@ -416,3 +416,38 @@ def test_viterbi_decode_batched_bit_identical(monkeypatch):
         )
         np.testing.assert_array_equal(got_auto, want)
     pv._decode_custom_vmap.cache_clear()  # drop entries bound to the patches
+
+
+def test_sliding_cmndf_mxu_engine_matches_fft(rng):
+    """The MXU real-DFT-matmul CMNDF engine equals the FFT engine up to
+    float reduction order (same check grid as the framed-equality test,
+    plus a pyin-default-shaped case)."""
+    from modulation_mfcc_tpu.ops.yin import _sliding_cmndf
+
+    for hop, w, ml, n in (
+        (10, 64, 17, 500),
+        (7, 50, 12, 301),
+        (25, 100, 30, 800),
+        (100, 1024, 133, 10_000),  # 10 kHz pyin defaults
+    ):
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        nf = 1 + (n - (w + ml + 1)) // hop
+        want = np.asarray(_sliding_cmndf(x, nf, hop, w, ml, engine="fft"))
+        got = np.asarray(_sliding_cmndf(x, nf, hop, w, ml, engine="mxu"))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pyin_cmndf_engine_end_to_end_agreement():
+    """pyin_f0 with the MXU CMNDF engine agrees with the FFT default on
+    speech-like audio: voicing decisions ≥98% identical, ≤0.5 Hz on
+    agreeing voiced frames (reduction-order deltas may flip frames that
+    sit exactly on a voicing boundary — same bar as the bench's
+    cross-engine gates)."""
+    sig, sr = _speechlike_sig()
+    xj = jnp.asarray(sig, dtype=jnp.float32)
+    fa = np.asarray(pyin_f0(xj, sr=float(sr)))
+    fb = np.asarray(pyin_f0(xj, sr=float(sr), cmndf_engine="mxu"))
+    agree = (fa > 0) == (fb > 0)
+    assert agree.mean() >= 0.98, agree.mean()
+    dv = np.abs(np.where(agree & (fa > 0), fa - fb, 0.0))
+    assert dv.max() <= 0.5, dv.max()
