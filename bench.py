@@ -94,7 +94,9 @@ def _tracker_throughput(batch: int, seconds: float, n_super: int, safe: bool = F
     gen = jax.jit(lambda k: jax.random.normal(k, (n_super, batch, t_pad), jnp.float32))
     xs = [gen(k) for k in keys]
 
-    kw = {"sinc_engine": "xla"} if safe else {}  # fallback if Pallas rejects
+    # safe = conservative engines (FFT autocorrelation + XLA sinc band);
+    # the default auto path is XLA sinc + MXU real-DFT autocorrelation
+    kw = {"sinc_engine": "xla", "ac_engine": "fft"} if safe else {}
 
     def one(y):
         f0 = pitch_ac(y, sr=float(sr), **kw)
@@ -126,7 +128,9 @@ def _pyin_throughput(
     gen = jax.jit(lambda k: jax.random.normal(k, (n_super, batch, t_pad), jnp.float32))
     xs = [gen(k) for k in keys]
 
-    kw = {"viterbi_engine": "xla"} if safe else {}  # fallback if Pallas rejects
+    # safe = conservative engines (XLA Viterbi + FFT CMNDF, the oracle-
+    # pinned librosa-parity forms); auto is XLA Viterbi + MXU CMNDF
+    kw = {"viterbi_engine": "xla", "cmndf_engine": "fft"} if safe else {}
 
     @jax.jit
     def many(stack):
@@ -269,10 +273,11 @@ def _speechlike_batch(sr: int, seconds: float = 3.0, nb: int = 2):
 
 
 def _pitch_engines_agree(sr: int = 10_000) -> float:
-    """Raise unless the Pallas sinc engine matches the XLA engine on this
-    runtime (speechlike rows: voicing ≥98% identical, ≤0.5 Hz on agreeing
-    voiced frames). Run ONCE per bench; failure demotes the tracker field
-    to the XLA engines."""
+    """Raise unless the default fast engines (MXU real-DFT autocorrelation
+    + XLA sinc band) match the conservative FFT form on this runtime
+    (speechlike rows: voicing ≥98% identical, ≤0.5 Hz on agreeing voiced
+    frames). Run ONCE per bench; failure demotes the tracker field to the
+    conservative engines."""
     import numpy as np
 
     import jax
@@ -283,18 +288,23 @@ def _pitch_engines_agree(sr: int = 10_000) -> float:
     yq = jnp.asarray(_speechlike_batch(sr))
     fa = np.asarray(jax.vmap(lambda s: pitch_ac(s, sr=float(sr)))(yq))
     fx = np.asarray(
-        jax.vmap(lambda s: pitch_ac(s, sr=float(sr), sinc_engine="xla"))(yq)
+        jax.vmap(
+            lambda s: pitch_ac(s, sr=float(sr), sinc_engine="xla", ac_engine="fft")
+        )(yq)
     )
     va = (fa > 0) == (fx > 0)
     dv = np.abs(np.where(va & (fx > 0), fa - fx, 0.0))
     if va.mean() < 0.98 or np.nanmax(dv) > 0.5:
-        raise RuntimeError("pallas sinc engine disagrees with xla on-device")
+        raise RuntimeError("fast pitch engines disagree with fft/xla on-device")
     return 1.0
 
 
 def _pyin_engines_agree(sr: int = 10_000) -> float:
-    """Raise unless the Pallas Viterbi decode is EXACTLY the XLA decode on
-    this runtime (bit-identical by construction)."""
+    """Raise unless the default fast path (MXU CMNDF + XLA Viterbi)
+    matches the oracle-pinned FFT form on this runtime (voicing ≥99%
+    identical, ≤0.5 Hz on agreeing voiced frames — the CMNDF engines
+    differ only in float reduction order, measured decode-identical on
+    this fixture on v5e)."""
     import numpy as np
 
     import jax
@@ -305,10 +315,16 @@ def _pyin_engines_agree(sr: int = 10_000) -> float:
     yq = jnp.asarray(_speechlike_batch(sr))
     fa = np.asarray(jax.vmap(lambda s: pyin_f0(s, sr=float(sr)))(yq))
     fx = np.asarray(
-        jax.vmap(lambda s: pyin_f0(s, sr=float(sr), viterbi_engine="xla"))(yq)
+        jax.vmap(
+            lambda s: pyin_f0(
+                s, sr=float(sr), viterbi_engine="xla", cmndf_engine="fft"
+            )
+        )(yq)
     )
-    if not np.array_equal(fa, fx):
-        raise RuntimeError("pallas viterbi engine disagrees with xla on-device")
+    va = (fa > 0) == (fx > 0)
+    dv = np.abs(np.where(va & (fx > 0), fa - fx, 0.0))
+    if va.mean() < 0.99 or np.nanmax(dv) > 0.5:
+        raise RuntimeError("fast pyin engines disagree with fft/xla on-device")
     return 1.0
 
 

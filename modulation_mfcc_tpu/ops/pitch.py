@@ -268,10 +268,12 @@ def _pitch_ac_jit(
     autocorrelation; they differ only in float reduction order (f0 deltas
     ~1e-3 Hz, tested).
 
-    ``sinc_engine``: 'auto' (fused Pallas VMEM refinement kernel on TPU,
-    banded XLA GEMM elsewhere), 'pallas', or 'xla'. Identical band and
-    arithmetic; differ only in MXU reduction-order noise (tested in
-    interpret mode).
+    ``sinc_engine``: 'auto' (= the banded XLA GEMM — measured faster than
+    the Pallas kernel on v5e through the full tracker, 28.8 vs 36.5
+    ms/batch at B=32×30 s), 'xla', or 'pallas' (the fused VMEM kernel,
+    kept as an equality-gated escape hatch; f32 only — f64 falls back to
+    the XLA band). Identical band and arithmetic; differ only in MXU
+    reduction-order noise (tested in interpret mode).
     """
     if method == "cc":
         periods_per_window = 1.0
@@ -470,18 +472,15 @@ def _pitch_ac_jit(
     )
     # Refinement is evaluated on the band [lag_min, lag_max] only — every
     # finite-score candidate lies inside (``in_range`` gates ``is_max``).
-    # On TPU the fused Pallas kernel keeps the [.., grid, nl] interpolant
-    # in VMEM (pallas/sinc_refine.py — the XLA banded GEMM materializes
-    # ~874 MB at 32×30 s scale and measured 16.6 ms on ~3 ms of MXU work);
-    # elsewhere (and for f64) the XLA form computes the identical band.
+    # 'auto' is the XLA banded-GEMM form: measured ON v5e (r3 session 8,
+    # lax.map distinct-inputs harness) it beats the fused Pallas VMEM
+    # kernel through the full pitch_ac at B=32×30 s — 28.8 vs 36.5
+    # ms/batch — so the kernel stays as an engine-selectable escape hatch
+    # ('pallas', equality-gated in bench.py) rather than the default.
     # (The MODMFCC_SINC_ENGINE env escape hatch is resolved in the public
     # pitch_ac wrapper, BEFORE the jit cache lookup — resolving it here
     # would bake the old value into a memoized trace.)
-    use_pallas_sinc = sinc_engine == "pallas" or (
-        sinc_engine == "auto"
-        and jax.default_backend() == "tpu"
-        and r_ext.dtype == jnp.float32
-    )
+    use_pallas_sinc = sinc_engine == "pallas" and r_ext.dtype == jnp.float32
     if use_pallas_sinc:
         from modulation_mfcc_tpu.pallas.sinc_refine import refine_sinc_band_pallas
 

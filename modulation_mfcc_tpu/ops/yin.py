@@ -352,7 +352,7 @@ def _pyin_f0_jit(
     center: bool = True,
     pad_mode: str = "constant",
     viterbi_engine: str = "auto",
-    cmndf_engine: str = "fft",
+    cmndf_engine: str = "auto",
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN).
 
@@ -360,14 +360,20 @@ def _pyin_f0_jit(
     pyincenter/pyinpad_mode through, script/calc.py:418-419): centered
     framing pads frame_length//2 on each side with the given numpy pad mode.
 
-    ``viterbi_engine``: 'auto' (fused whole-scan Pallas forward+backtrace
-    on TPU — pallas/viterbi.py, the delta history never leaves VMEM —
-    XLA lax.scan elsewhere or when the trellis exceeds VMEM),
-    'pallas_full' (force fused), 'pallas' (Pallas forward + XLA
-    backtrace), or 'xla'. The decoded path is bit-identical across all
-    engines (interpret-mode tests). Explicit Pallas engines still fall
-    back to the XLA scan when the kernels cannot apply (single-frame
-    tracks, non-f32 trellis, nf > 200k) — same numbers either way.
+    ``viterbi_engine``: 'auto' (= the XLA unroll-8 lax.scan — measured
+    faster than every Pallas variant on v5e, see the engine comment
+    below), 'xla', 'pallas_full' (fused whole-scan forward+backtrace
+    kernel, per-signal), 'pallas_batched' (batch-per-step kernels under
+    vmap), or 'pallas' (Pallas forward + XLA backtrace). The decoded path
+    is bit-identical across all engines (interpret-mode tests). Explicit
+    Pallas engines still fall back to the XLA scan when the kernels cannot
+    apply (single-frame tracks, non-f32 trellis, nf > 200k) — same numbers
+    either way.
+
+    ``cmndf_engine``: 'auto' (MXU real-DFT matmul correlations on TPU for
+    f32 — measured 31.4→25.5 ms per 8×30 s on v5e with the decoded track
+    identical on the speechlike gate — FFT elsewhere), 'mxu', or 'fft'
+    (the librosa-parity default form the float64 oracle pins bit-level).
     """
     if win_length is None:
         win_length = frame_length // 2
@@ -400,6 +406,12 @@ def _pyin_f0_jit(
     # function ~7.5×. Frameless path: window sums over global product
     # series (see _sliding_cmndf) — no frame matrix, no FFTs.
     ml = max_lag_f0
+    if cmndf_engine == "auto":
+        cmndf_engine = (
+            "mxu"
+            if jax.default_backend() == "tpu" and xp.dtype == jnp.float32
+            else "fft"
+        )
     cm = _sliding_cmndf(xp, nf, hop_length, win_length, ml, engine=cmndf_engine)
     # All troughs live in the static lag band [min_lag, max_lag_f0] — the
     # threshold sweep below builds an [n_thresholds, NF, L] tensor, and on
@@ -612,28 +624,27 @@ def _pyin_f0_jit(
     p_init = np.zeros(2 * n_bins)
     p_init[n_bins:] = 1.0 / n_bins
     delta0 = log_obs[0] + jnp.asarray(np.log(p_init + tiny), dtype=cm.dtype)
-    # Engine: the whole-scan Pallas kernel keeps the [n, n] trellis
-    # broadcast-add-max in VMEM with the transition matrix resident — the
-    # XLA scan pays ~29 µs/step at n=360 for ~1 µs of VPU arithmetic
-    # (intermediate materialization + per-step layout churn; banding and
-    # unrolling measured worse, r2/r3 notes). Deltas are BIT-IDENTICAL
-    # between engines (elementwise adds + order-independent max), so the
-    # backtrace below decodes the same path either way.
+    # Engine: 'auto' is the XLA unroll-8 scan. Measured ON v5e (r3
+    # session 8, lax.map distinct-inputs harness, full pyin at 8×30 s):
+    # xla 31.4 ms < pallas forward-only 32.4 < batched kernels 37.6 <
+    # pallas_full per-signal 39.0 — the whole-scan VMEM kernels lose to
+    # the dense unrolled scan at n=360 (both in-kernel unroll=1 and full
+    # chunk unroll measured the same), so they stay as engine-selectable
+    # escape hatches, equality-gated (deltas and decoded paths are
+    # BIT-IDENTICAL between engines: elementwise adds + order-independent
+    # max).
     # The kernels stream frame chunks through VMEM, so the only size limit
     # is the HBM delta-history buffer (~[NF, 2·nbl]·f32) — cap generously.
     # (The MODMFCC_VITERBI_ENGINE env escape hatch is resolved in the
     # public pyin_f0 wrapper, BEFORE the jit cache lookup — resolving it
     # here would bake the old value into a memoized trace.)
     fits = nf > 1 and cm.dtype == jnp.float32 and nf <= 200_000
-    use_fused_vit = fits and (
-        viterbi_engine == "pallas_full"
-        or (viterbi_engine == "auto" and jax.default_backend() == "tpu")
-    )
+    use_fused_vit = fits and viterbi_engine in ("pallas_full", "pallas_batched")
     use_pallas_fwd = fits and viterbi_engine == "pallas"
     if use_fused_vit:
-        # fused forward + backtrace; 'auto' routes through custom_vmap so
-        # vmapped (batched) callers run the batch-per-step kernels instead
-        # of the default rule's sequential outer grid
+        # fused forward + backtrace; 'pallas_batched' routes through
+        # custom_vmap so vmapped (batched) callers run the batch-per-step
+        # kernels instead of the default rule's sequential outer grid
         from modulation_mfcc_tpu.pallas.viterbi import (
             viterbi_decode_auto,
             viterbi_decode_pallas,
@@ -641,7 +652,7 @@ def _pyin_f0_jit(
 
         decode = (
             viterbi_decode_auto
-            if viterbi_engine == "auto"
+            if viterbi_engine == "pallas_batched"
             else viterbi_decode_pallas
         )
         path = decode(

@@ -660,9 +660,14 @@ def fused_mel_frontend(
 
     wri_in = _stack_weights(wri_p, algorithm)
     mel_in = _stack_weights(m_p, algorithm)
-    # staging scratch in the transport dtype (bf16 in the corpus mode): the
-    # f32 round-trip it replaces was exact on bf16 values — bit-identical
-    row_dtype = jnp.bfloat16 if algorithm == "bf16" else jnp.float32
+    # staging scratch stays f32 in EVERY mode: real Mosaic (v5e, measured
+    # r3 session 8) rejects the frame concat over bf16 shifted-sublane
+    # views ("result/input offset mismatch on non-concat dimension" — the
+    # 16-bit packing pairs sublanes, so the k-offset views that are legal
+    # at f32's 8-row granularity are not addressable at bf16's); the f32
+    # round-trip is exact on bf16 values, so numbers are unchanged either
+    # way and only interpret mode ever accepted the bf16-staged variant.
+    row_dtype = jnp.float32
     extra_ops = [wri_in, mel_in]
     extra_specs = [
         pl.BlockSpec(wri_in.shape, lambda b, j: (0, 0, 0), memory_space=pltpu.VMEM),

@@ -34,8 +34,10 @@ def frontend_knobs() -> tuple[int, bool]:
 def tracker_knobs() -> tuple[str, str]:
     """(sinc_engine, viterbi_engine) overrides for the trackers' 'auto'
     engine defaults, from MODMFCC_SINC_ENGINE / MODMFCC_VITERBI_ENGINE —
-    the production escape hatches if a runtime's Mosaic rejects the Pallas
-    kernels. Resolved in the public pitch_ac/pyin_f0 wrappers BEFORE the
+    production A/B hatches ('auto' resolves to the XLA forms, which
+    measured fastest on v5e; these knobs force the Pallas kernels or pin
+    an engine without touching call sites). Resolved in the public
+    pitch_ac/pyin_f0 wrappers BEFORE the
     jit cache lookup (the resolved engine is the static arg), and threaded
     through the static key of every memoized wrapper that traces a tracker
     (parallel/corpus._extras_impl)."""

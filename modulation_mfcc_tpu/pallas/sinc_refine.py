@@ -27,6 +27,14 @@ Numerics match ops/pitch.py:_refine_sinc_dense (same weights, same
 first-max argmax tie rule, same parabola expressions) to MXU reduction-
 order noise; the equality is pinned by tests/test_pitch.py in interpret
 mode on CPU.
+
+MEASURED ON v5e (r3 session 8, lax.map distinct-inputs harness): with
+BOTH engines now evaluating only the [lag_lo, lag_max] band, the XLA
+banded GEMM wins through the full pitch_ac at B=32×30 s — 28.8 vs
+36.5 ms/batch — the band trim already removed the 874 MB round-trip
+that motivated this kernel, and the kernel's block orchestration costs
+more than the remaining HBM traffic saves. NOT the default; select via
+``sinc_engine='pallas'`` for A/B on other hardware/shapes.
 """
 from __future__ import annotations
 

@@ -37,6 +37,15 @@ target column of the transition matrix is itself −1e30.
 History rows are stored SHIFTED (hist[s] = delta at entry of step s =
 δ_{s−1}) so each row lands in the same chunk as the observation row that
 produced it; the wrappers slice the shift away.
+
+MEASURED ON v5e (r3 session 8, lax.map distinct-inputs harness, full
+pyin 8×30 s @10 kHz): xla 31.4 ms < pallas forward-only 32.4 <
+batched 37.6 < pallas_full per-signal 39.0 — the launch savings do not
+beat the dense unrolled XLA scan at n_bins=360 (tried with in-kernel
+unroll=1 and full chunk unroll; Mosaic supports no partial unroll).
+These kernels are therefore NOT the default: select them via
+``viterbi_engine='pallas_full' | 'pallas_batched' | 'pallas'`` for A/B
+on other hardware/shapes.
 """
 from __future__ import annotations
 
@@ -108,7 +117,7 @@ def _fwd_kernel(
         new = _relax(d, tri, nbl, c_stay, c_sw) + lo
         return jnp.where((s >= 1) & (s < nf), new, d)
 
-    d_end = jax.lax.fori_loop(0, ch, body, dstate[...], unroll=8)
+    d_end = jax.lax.fori_loop(0, ch, body, dstate[...], unroll=1)
     dstate[...] = d_end
     dfin_ref[...] = d_end  # revisited block; final chunk's value wins
 
@@ -166,7 +175,7 @@ def _bwd_kernel(
         pout_ref[pl.ds(j, 1), :] = jnp.full((1, 128), cur, jnp.int32)
         return cur
 
-    cur_s[0, 0] = jax.lax.fori_loop(0, ch, body, cur_s[0, 0], unroll=8)
+    cur_s[0, 0] = jax.lax.fori_loop(0, ch, body, cur_s[0, 0], unroll=1)
 
 
 def _pad_state(v2n, n, nbl, fill):
@@ -347,7 +356,7 @@ def _fwd_kernel_b(
         new = jnp.concatenate([new_v, new_u], axis=-1) + lo
         return jnp.where((s >= 1) & (s < nf), new, d)
 
-    d_end = jax.lax.fori_loop(0, ch, body, dstate[...], unroll=8)
+    d_end = jax.lax.fori_loop(0, ch, body, dstate[...], unroll=1)
     dstate[...] = d_end
     dfin_ref[...] = d_end
 
@@ -408,7 +417,7 @@ def _bwd_kernel_b(
         return tuple(outs)
 
     cur0 = tuple(cur_s[b, 0] for b in range(nb))
-    curf = jax.lax.fori_loop(0, ch, body, cur0, unroll=8)
+    curf = jax.lax.fori_loop(0, ch, body, cur0, unroll=1)
     for b in range(nb):
         cur_s[b, 0] = curf[b]
 
