@@ -178,19 +178,30 @@ def _masked_batch_throughput(n_super: int = 8) -> float:
 def _longform_1h_seconds() -> float:
     """BASELINE config #4: one 1-hour 48 kHz recording through the chunked
     streaming path (f32) — wall seconds for the warm program (distinct
-    input from the warm-up run; the single readback is the barrier)."""
+    input from the warm-up run; the single readback is the barrier).
+
+    The 48 kHz input is polyphase-resampled ON DEVICE to the 16 kHz
+    analysis rate first — the reference's own pipeline analyzes at its
+    configured sample rate (its n_fft=512 cannot hold a 25 ms window at
+    48 kHz any more than ours can), so the honest config-#4 program is
+    resample + chunked extraction, not native-48k analysis."""
     import jax
     import jax.numpy as jnp
 
     from modulation_mfcc_tpu.models.config import MfccConfig
+    from modulation_mfcc_tpu.ops.resample import resample_device
     from modulation_mfcc_tpu.parallel.streaming import chunked_mfcc_change
 
     sr = 48_000
-    cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+    cfg = MfccConfig(signal_sample_rate=16_000, maxFreq=8000.0)
     n = 3600 * sr
     keys = jax.random.split(jax.random.PRNGKey(5), 2)
     gen = jax.jit(lambda k: jax.random.normal(k, (n,), jnp.float32))
-    run = jax.jit(lambda y: jnp.sum(chunked_mfcc_change(y, cfg)))
+    run = jax.jit(
+        lambda y: jnp.sum(
+            chunked_mfcc_change(resample_device(y, float(sr), 16_000.0), cfg)
+        )
+    )
     x0, x1 = gen(keys[0]), gen(keys[1])
     float(jnp.sum(x0)), float(jnp.sum(x1))
     float(run(x0))  # compile + warm

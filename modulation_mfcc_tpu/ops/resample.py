@@ -59,12 +59,24 @@ def _phase_kernel(up: int, down: int):
     return kern, r_lo, r_hi
 
 
-def resample_poly_device(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+def resample_poly_device(
+    x: jnp.ndarray, up: int, down: int, *, block_rows: int = 8192,
+    block_threshold: int = 1 << 22,
+) -> jnp.ndarray:
     """resample_poly(x, up, down) along the last axis, on device.
 
     x: [..., n] → [..., ceil(n·up/down)]; float32 in/out, HIGHEST-precision
     conv so the result matches the f64 host path to ~1e-6.
-    """
+
+    Signals longer than ``block_threshold`` go through a BLOCKED conv: the
+    flat ``[*, 1, n]`` form leaves XLA free to stage a ``[.., t_cnt·up, 1]``
+    intermediate whose size-1 trailing axis gets lane-padded 128× (measured:
+    a 29.5 GB HBM OOM on the 1-hour 48 kHz longform bench). Framing the
+    signal into ``block_rows`` overlapping rows (gather-free shifted
+    slices, ops/framing.py) batches the same conv over rows with sane
+    tilings; outputs are element-identical (each row covers a contiguous
+    run of output positions, tail rows read explicit zero padding that the
+    final slice drops)."""
     if up == down:
         return x
     *lead, n = x.shape
@@ -72,18 +84,36 @@ def resample_poly_device(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
     n_out = n_resampled(n, up, down)
     t_cnt = -(-n_out // up)  # conv output positions per phase
     pad_lo = -r_lo
-    pad_hi = max(0, down * (t_cnt - 1) + r_hi - (n - 1))
-    lhs = x.reshape(-1, 1, n)
+    kern = jnp.asarray(kern_np, dtype=x.dtype)
+    dn = ("NCH", "OIH", "NCH")
+    prec = jax.lax.Precision.HIGHEST
+    if n <= block_threshold:
+        pad_hi = max(0, down * (t_cnt - 1) + r_hi - (n - 1))
+        lhs = x.reshape(-1, 1, n)
+        out = jax.lax.conv_general_dilated(
+            lhs, kern, window_strides=(down,), padding=[(pad_lo, pad_hi)],
+            dimension_numbers=dn, precision=prec,
+        )  # [N, up, t_cnt]
+        # interleave phases: y[up·t + p] = out[:, p, t]
+        y = jnp.moveaxis(out, -2, -1).reshape(len(lhs), t_cnt * up)
+        return y[..., :n_out].reshape(*lead, n_out)
+    from modulation_mfcc_tpu.ops.framing import frame_by_slices
+
+    wk = kern_np.shape[-1]
+    tc = -(-t_cnt // block_rows)  # conv outputs per row
+    nr = -(-t_cnt // tc)  # rows (nr·tc ≥ t_cnt)
+    flen = down * (tc - 1) + wk
+    hop = down * tc
+    need = (nr - 1) * hop + flen  # padded-signal samples the rows read
+    x1 = jnp.pad(
+        x, [(0, 0)] * len(lead) + [(pad_lo, max(0, need - (n + pad_lo)))]
+    )
+    rows = frame_by_slices(x1, 0, nr, flen, hop)  # [..., nr, flen]
     out = jax.lax.conv_general_dilated(
-        lhs,
-        jnp.asarray(kern_np, dtype=x.dtype),
-        window_strides=(down,),
-        padding=[(pad_lo, pad_hi)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [N, up, t_cnt]
-    # interleave phases: y[up·t + p] = out[:, p, t]
-    y = jnp.moveaxis(out, -2, -1).reshape(len(lhs), t_cnt * up)
+        rows.reshape(-1, 1, flen), kern, window_strides=(down,),
+        padding=[(0, 0)], dimension_numbers=dn, precision=prec,
+    )  # [N·nr, up, tc]
+    y = jnp.moveaxis(out, -2, -1).reshape(-1, nr * tc * up)
     return y[..., :n_out].reshape(*lead, n_out)
 
 

@@ -64,17 +64,21 @@ def chunked_mfcc_trajectories(
     clip, which needs the global mel max — computed in a first cheap pass
     (running max is associative, so it streams through the same scan).
     """
+    from modulation_mfcc_tpu.ops.framing import frame_by_slices
+
     n = y.shape[-1]
     nf, n_chunks, window, pad = _chunk_frame_windows(n, cfg, frames_per_chunk)
     hop = cfg.hop_length
     ypad = jnp.pad(y, (pad, pad + n_chunks * frames_per_chunk * hop + window))
     starts = jnp.arange(n_chunks) * (frames_per_chunk * hop)
-    fidx = np.arange(frames_per_chunk)[:, None] * hop + np.arange(cfg.n_fft)[None, :]
-    fidx = jnp.asarray(fidx)
 
     def mel_of_chunk(start):
+        # dynamic_slice to the chunk's (static-size) sample window, then
+        # gather-free shifted-slice framing: the old [fpc, n_fft] index
+        # gather cost more than the chunk's FFTs at 1-hour scale (the
+        # ~9 ms-per-gather rule, DESIGN.md §3)
         seg = jax.lax.dynamic_slice(ypad, (start,), (window,))
-        frames = seg[fidx]
+        frames = frame_by_slices(seg, 0, frames_per_chunk, cfg.n_fft, hop)
         return melspectrogram(
             frames,
             sr=cfg.signal_sample_rate,
@@ -85,26 +89,25 @@ def chunked_mfcc_trajectories(
             win_length=cfg.win_length,
         )
 
-    # pass 1: global mel peak for librosa's top_db clip (streaming max)
-    def max_step(carry, start):
+    # ONE scan: stream the mel chunks out ([NF, n_mels] at trajectory rate
+    # is ~500× smaller than the audio — storing it is cheap) while carrying
+    # the running mel peak for librosa's per-utterance top_db clip; the
+    # clip + DCT are elementwise/matmul on the stacked result, so a single
+    # pass computes exactly what the old peak-then-mfcc double scan did.
+    def mel_step(carry, start):
         m = mel_of_chunk(start)
         fi = start // hop + jnp.arange(frames_per_chunk)
         valid = (fi < nf)[:, None]
         peak = jnp.max(jnp.where(valid, m, 0.0))
-        return jnp.maximum(carry, peak), None
+        return jnp.maximum(carry, peak), m
 
-    peak, _ = jax.lax.scan(max_step, jnp.asarray(0.0, y.dtype), starts)
+    peak, mels = jax.lax.scan(mel_step, jnp.asarray(0.0, y.dtype), starts)
     log_peak = 10.0 * jnp.log10(jnp.maximum(peak, 1e-10))
 
     d = jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=y.dtype)
-
-    def mfcc_step(_, start):
-        m = mel_of_chunk(start)
-        db = 10.0 * jnp.log10(jnp.maximum(m, 1e-10))
-        db = jnp.maximum(db, log_peak - 80.0)
-        return None, db @ d.T
-
-    _, out = jax.lax.scan(mfcc_step, None, starts)
+    db = 10.0 * jnp.log10(jnp.maximum(mels, 1e-10))
+    db = jnp.maximum(db, log_peak - 80.0)
+    out = db @ d.T
     return out.reshape(n_chunks * frames_per_chunk, cfg.n_mfcc)[:nf]
 
 

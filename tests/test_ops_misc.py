@@ -184,6 +184,31 @@ def test_resample_poly_device_matches_host(rng):
         np.testing.assert_allclose(got, want, atol=1e-10)
 
 
+def test_resample_poly_device_blocked_matches_flat(rng):
+    """The blocked long-signal conv path (row framing, used above the HBM
+    layout threshold — see resample_poly_device docstring) is element-
+    equal to the flat path up to conv reduction-order noise (the virtual
+    8-device host platform partitions the two shapes differently — bitwise
+    equality holds on a plain single-device CPU but not under the test
+    mesh), including ragged tail rows, up-/down-sampling, and batched
+    leading dims."""
+    from modulation_mfcc_tpu.ops.resample import resample_poly_device
+
+    for up, dn, n in ((1, 3, 10_000), (3, 2, 8_011), (160, 441, 9_000), (2, 3, 4_097)):
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        want = np.asarray(resample_poly_device(x, up, dn))
+        got = np.asarray(
+            resample_poly_device(x, up, dn, block_rows=7, block_threshold=0)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    xb = jnp.asarray(rng.standard_normal((2, 3, 5_000)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(resample_poly_device(xb, 1, 3, block_rows=5, block_threshold=0)),
+        np.asarray(resample_poly_device(xb, 1, 3)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_hop_window_sums_edges(rng):
     from modulation_mfcc_tpu.ops.framing import hop_window_sums
 

@@ -365,8 +365,34 @@ def test_pyin_pallas_viterbi_dispatch(monkeypatch):
     want = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="xla"))
     got_full = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="pallas_full"))
     got_fwd = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="pallas"))
+    got_bat = np.asarray(pyin_f0(xj, sr=float(sr), viterbi_engine="pallas_batched"))
     np.testing.assert_array_equal(got_full, want)
     np.testing.assert_array_equal(got_fwd, want)
+    np.testing.assert_array_equal(got_bat, want)
+
+
+def test_engine_auto_defaults_resolve_conservative_on_cpu():
+    """'auto' engines off-TPU must be EXACTLY the conservative forms the
+    float64 oracles pin: pyin auto == (xla viterbi + fft cmndf) and
+    pitch_ac auto == (xla sinc + fft autocorrelation), bit-identical.
+    Guards the r3 session-8 default flip (XLA engines measured fastest
+    on v5e; MXU forms are TPU-only autos)."""
+    from modulation_mfcc_tpu.ops.pitch import pitch_ac
+
+    sig, sr = _speechlike_sig()
+    xj = jnp.asarray(sig, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(pyin_f0(xj, sr=float(sr))),
+        np.asarray(
+            pyin_f0(xj, sr=float(sr), viterbi_engine="xla", cmndf_engine="fft")
+        ),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pitch_ac(xj, sr=float(sr))),
+        np.asarray(
+            pitch_ac(xj, sr=float(sr), sinc_engine="xla", ac_engine="fft")
+        ),
+    )
 
 
 def test_viterbi_decode_batched_bit_identical(monkeypatch):
