@@ -530,27 +530,40 @@ def _pitch_ac_jit(
     jump_c = octave_jump_cost * corr
     vuv_c = voiced_unvoiced_cost * corr
 
-    def trans_cost(fp, fc):
-        both_v = (fp > 0) & (fc > 0)
-        one_uv = (fp > 0) != (fc > 0)
-        jump = jnp.abs(
-            jnp.log2(jnp.maximum(fp, 1e-6) / jnp.maximum(fc, 1e-6))
-        )
-        return jnp.where(both_v, jump_c * jump, jnp.where(one_uv, vuv_c, 0.0))
+    # The octave-jump cost |log2(f_prev/f_cur)| is evaluated over a [K, K]
+    # grid per frame; profiled on v5e those K²·NF transcendentals dominated
+    # the scan body. log2(a/b) = log2(a) − log2(b) moves the log2s OUT of
+    # the scan as one [NF, K] elementwise pass (K²/K = 15× fewer evals, at
+    # full VPU width), leaving only subtract/abs/selects per step. NOTE
+    # this changes the float rounding of the jump cost (one division+log2
+    # vs a difference of two log2s, rel ~1e-7): decode flips are possible
+    # only on exact cost ties, none observed on the golden fixtures.
+    lf = jnp.log2(jnp.maximum(all_freq, 1e-6))  # [NF, K]
+    vflag = all_freq > 0
 
     def step(delta_prev, inp):
-        s_t, f_t, fprev = inp["s"], inp["f"], inp["fp"]
-        cost = trans_cost(fprev[:, None], f_t[None, :])  # [K, K]
+        both_v = inp["vp"][:, None] & inp["v"][None, :]
+        one_uv = inp["vp"][:, None] ^ inp["v"][None, :]
+        jump = jnp.abs(inp["lfp"][:, None] - inp["lf"][None, :])
+        cost = jnp.where(both_v, jump_c * jump, jnp.where(one_uv, vuv_c, 0.0))
         scores = delta_prev[:, None] - cost  # [K, K]
         best_prev = jnp.argmax(scores, axis=0)
-        delta_t = s_t + jnp.max(scores, axis=0)
+        delta_t = inp["s"] + jnp.max(scores, axis=0)
         return delta_t, best_prev
 
     k_tot = all_strength.shape[-1]
     delta0 = all_strength[0]
-    fprev_seq = all_freq[:-1]
-    inps = {"s": all_strength[1:], "f": all_freq[1:], "fp": fprev_seq}
-    delta_f, backptrs = jax.lax.scan(step, delta0, inps)
+    inps = {
+        "s": all_strength[1:],
+        "lf": lf[1:], "v": vflag[1:],
+        "lfp": lf[:-1], "vp": vflag[:-1],
+    }
+    # unroll: the [K, K]=15² relax body is ~1 µs of VPU work against
+    # ~1-2 µs of per-step scan launch overhead; profiled on v5e (r3
+    # session 8) the two un-unrolled scans were ~5.6 ms of pitch_ac's
+    # 15.4 ms device time at B=16×30 s — unrolling 8× amortizes the
+    # launches the same way the pyin Viterbi scan does (ops/yin.py)
+    delta_f, backptrs = jax.lax.scan(step, delta0, inps, unroll=8)
 
     # backtrace
     last = jnp.argmax(delta_f if nf > 1 else delta0)
@@ -559,7 +572,7 @@ def _pitch_ac_jit(
         cur = bp[nxt]
         return cur, cur
 
-    _, path_rev = jax.lax.scan(back_step, last, backptrs, reverse=True)
+    _, path_rev = jax.lax.scan(back_step, last, backptrs, reverse=True, unroll=8)
     path = jnp.concatenate([path_rev, jnp.asarray([last])]) if nf > 1 else jnp.asarray([last])
     # one-hot readoff (same rationale as the candidate readoff above)
     f0 = jnp.sum(
