@@ -417,6 +417,9 @@ def main() -> None:
     engine_fallbacks = []
     tracker_safe = _try(_pitch_engines_agree) is None
     pyin_safe = _try(_pyin_engines_agree) is None
+    # the 16 kHz field gets its own gate: the MXU CMNDF geometry (nfft,
+    # lag band) differs per sr, so a 10 kHz pass doesn't certify 16 kHz
+    pyin16_safe = _try(_pyin_engines_agree, sr=16_000) is None
 
     def _try_engines(name, safe0, fn, *a, **k):
         got = _try(fn, *a, safe=safe0, **k)
@@ -431,7 +434,7 @@ def main() -> None:
     i16 = _try(_throughput, "pallas_i16", batch, seconds, n_super)
     trackers = _try_engines("tracker_sweep", tracker_safe, _tracker_throughput, 16, seconds, 8)
     pyin = _try_engines("pyin_sweep", pyin_safe, _pyin_throughput, 8, seconds, 8)
-    pyin16 = _try_engines("pyin_sweep_16k", pyin_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
+    pyin16 = _try_engines("pyin_sweep_16k", pyin16_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
     masked = _try(_masked_batch_throughput)
     longform = _try(_longform_1h_seconds)
     corpus = _try(_corpus_throughput)

@@ -146,6 +146,12 @@ def lpc_formants(
 
     w = jnp.asarray(praat_gauss(nw), dtype=x.dtype)
     frames = frames * w
+    if burg_engine not in ("auto", "pallas", "xla"):
+        # trace-time guard: a typo'd engine must error, not silently run
+        # the default path and corrupt an A/B measurement
+        raise ValueError(
+            f"burg_engine {burg_engine!r} not in ('auto', 'pallas', 'xla')"
+        )
     use_pallas = burg_engine == "pallas" or (
         burg_engine == "auto" and jax.default_backend() == "tpu"
     )

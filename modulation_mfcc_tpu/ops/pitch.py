@@ -594,4 +594,15 @@ def pitch_ac(x: jnp.ndarray, *, sinc_engine: str = "auto", **kw) -> jnp.ndarray:
         from modulation_mfcc_tpu.pallas.knobs import tracker_knobs
 
         sinc_engine = tracker_knobs()[0]
+    # validate engine names here (not in the traced body): a typo'd env
+    # knob or stale script must error, not silently run the default engine
+    # and corrupt an A/B measurement
+    if sinc_engine not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"sinc_engine {sinc_engine!r} not in ('auto', 'xla', 'pallas')"
+        )
+    if kw.get("ac_engine", "auto") not in ("auto", "mxu", "fft"):
+        raise ValueError(
+            f"ac_engine {kw['ac_engine']!r} not in ('auto', 'mxu', 'fft')"
+        )
     return _pitch_ac_jit(x, sinc_engine=sinc_engine, **kw)

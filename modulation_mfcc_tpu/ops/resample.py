@@ -68,7 +68,9 @@ def resample_poly_device(
     x: [..., n] → [..., ceil(n·up/down)]; float32 in/out, HIGHEST-precision
     conv so the result matches the f64 host path to ~1e-6.
 
-    Signals longer than ``block_threshold`` go through a BLOCKED conv: the
+    Inputs with more than ``block_threshold`` TOTAL elements (batch ×
+    length — XLA's staging scales with the whole conv, not one row) go
+    through a BLOCKED conv: the
     flat ``[*, 1, n]`` form leaves XLA free to stage a ``[.., t_cnt·up, 1]``
     intermediate whose size-1 trailing axis gets lane-padded 128× (measured:
     a 29.5 GB HBM OOM on the 1-hour 48 kHz longform bench). Framing the
@@ -87,7 +89,7 @@ def resample_poly_device(
     kern = jnp.asarray(kern_np, dtype=x.dtype)
     dn = ("NCH", "OIH", "NCH")
     prec = jax.lax.Precision.HIGHEST
-    if n <= block_threshold:
+    if x.size <= block_threshold:
         pad_hi = max(0, down * (t_cnt - 1) + r_hi - (n - 1))
         lhs = x.reshape(-1, 1, n)
         out = jax.lax.conv_general_dilated(
@@ -100,7 +102,11 @@ def resample_poly_device(
     from modulation_mfcc_tpu.ops.framing import frame_by_slices
 
     wk = kern_np.shape[-1]
-    tc = -(-t_cnt // block_rows)  # conv outputs per row
+    # conv outputs per row: block_rows-ish rows, but never so few outputs
+    # per row that the W-sample halo dominates (≤ ~25% overlap) — a huge
+    # batch of short signals crosses the size threshold with tiny t_cnt,
+    # where per-output-rows would blow the input up W× instead of batching
+    tc = min(t_cnt, max(-(-t_cnt // block_rows), -(-4 * wk // down)))
     nr = -(-t_cnt // tc)  # rows (nr·tc ≥ t_cnt)
     flen = down * (tc - 1) + wk
     hop = down * tc

@@ -705,17 +705,43 @@ def _pyin_f0_jit(
     return jnp.where(voiced, f0, 0.0)
 
 
-def pyin_f0(x: jnp.ndarray, *, viterbi_engine: str = "auto", **kw) -> jnp.ndarray:
+_VITERBI_ENGINES = ("auto", "xla", "pallas", "pallas_full", "pallas_batched")
+_CMNDF_ENGINES = ("auto", "fft", "mxu")
+
+
+def pyin_f0(
+    x: jnp.ndarray,
+    *,
+    viterbi_engine: str = "auto",
+    cmndf_engine: str = "auto",
+    **kw,
+) -> jnp.ndarray:
     """Public entry — see ``_pyin_f0_jit`` for the full signature/docs.
 
-    Resolves the MODMFCC_VITERBI_ENGINE escape hatch BEFORE the jit cache
-    lookup so the resolved engine is the static key: an env change between
-    calls retraces instead of silently reusing a trace compiled under the
-    old engine (code-review finding, r3 session 7). Memoized wrappers that
-    trace this (parallel/corpus._extras_impl) additionally carry
-    ``pallas.knobs.tracker_knobs()`` in their static keys."""
-    if viterbi_engine == "auto":
-        from modulation_mfcc_tpu.pallas.knobs import tracker_knobs
+    Resolves the MODMFCC_VITERBI_ENGINE / MODMFCC_CMNDF_ENGINE escape
+    hatches BEFORE the jit cache lookup so the resolved engine is the
+    static key: an env change between calls retraces instead of silently
+    reusing a trace compiled under the old engine (code-review finding,
+    r3 session 7). Memoized wrappers that trace this
+    (parallel/corpus._extras_impl) additionally carry
+    ``pallas.knobs.tracker_knobs()`` in their static keys.
 
+    Engine names are VALIDATED here: an unknown value (typo'd env knob,
+    stale script) must error, not silently fall through to the default
+    path and corrupt an A/B measurement (same rationale as knobs.py's
+    blkf check)."""
+    from modulation_mfcc_tpu.pallas.knobs import tracker_knobs
+
+    if viterbi_engine == "auto":
         viterbi_engine = tracker_knobs()[1]
-    return _pyin_f0_jit(x, viterbi_engine=viterbi_engine, **kw)
+    if cmndf_engine == "auto":
+        cmndf_engine = tracker_knobs()[2]
+    if viterbi_engine not in _VITERBI_ENGINES:
+        raise ValueError(
+            f"viterbi_engine {viterbi_engine!r} not in {_VITERBI_ENGINES}"
+        )
+    if cmndf_engine not in _CMNDF_ENGINES:
+        raise ValueError(f"cmndf_engine {cmndf_engine!r} not in {_CMNDF_ENGINES}")
+    return _pyin_f0_jit(
+        x, viterbi_engine=viterbi_engine, cmndf_engine=cmndf_engine, **kw
+    )

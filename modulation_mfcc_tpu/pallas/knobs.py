@@ -31,17 +31,21 @@ def frontend_knobs() -> tuple[int, bool]:
     return blkf, pipeline
 
 
-def tracker_knobs() -> tuple[str, str]:
-    """(sinc_engine, viterbi_engine) overrides for the trackers' 'auto'
-    engine defaults, from MODMFCC_SINC_ENGINE / MODMFCC_VITERBI_ENGINE —
-    production A/B hatches ('auto' resolves to the XLA forms, which
-    measured fastest on v5e; these knobs force the Pallas kernels or pin
-    an engine without touching call sites). Resolved in the public
-    pitch_ac/pyin_f0 wrappers BEFORE the
-    jit cache lookup (the resolved engine is the static arg), and threaded
-    through the static key of every memoized wrapper that traces a tracker
+def tracker_knobs() -> tuple[str, str, str]:
+    """(sinc_engine, viterbi_engine, cmndf_engine) overrides for the
+    trackers' 'auto' engine defaults, from MODMFCC_SINC_ENGINE /
+    MODMFCC_VITERBI_ENGINE / MODMFCC_CMNDF_ENGINE — production A/B hatches
+    ('auto' resolves to the measured-fastest forms on v5e: XLA sinc/Viterbi
+    and, on TPU, the MXU CMNDF; these knobs force the Pallas kernels or pin
+    an engine without touching call sites — CMNDF gets one too because it
+    is the only engine 'auto' turns ON by default on TPU, so a runtime
+    where it misbehaves needs a no-code-change off switch). Resolved in the
+    public pitch_ac/pyin_f0 wrappers BEFORE the jit cache lookup (the
+    resolved engine is the static arg), and threaded through the static key
+    of every memoized wrapper that traces a tracker
     (parallel/corpus._extras_impl)."""
     return (
         os.environ.get("MODMFCC_SINC_ENGINE", "auto"),
         os.environ.get("MODMFCC_VITERBI_ENGINE", "auto"),
+        os.environ.get("MODMFCC_CMNDF_ENGINE", "auto"),
     )

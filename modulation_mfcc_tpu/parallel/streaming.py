@@ -107,7 +107,10 @@ def chunked_mfcc_trajectories(
     d = jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=y.dtype)
     db = 10.0 * jnp.log10(jnp.maximum(mels, 1e-10))
     db = jnp.maximum(db, log_peak - 80.0)
-    out = db @ d.T
+    # HIGHEST precision: parity-grade DCT like the whole-file path's _pdot
+    # (ops/spectral.py:263) — bf16-accumulated DEFAULT here would break the
+    # "chunked == whole-file" claim on TPU (CLAUDE.md's 2.6e-3 bug class)
+    out = jnp.matmul(db, d.T, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(n_chunks * frames_per_chunk, cfg.n_mfcc)[:nf]
 
 

@@ -1,4 +1,5 @@
 """pYIN validation: CMNDF correctness vs direct numpy + tracking accuracy."""
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -393,6 +394,33 @@ def test_engine_auto_defaults_resolve_conservative_on_cpu():
             pitch_ac(xj, sr=float(sr), sinc_engine="xla", ac_engine="fft")
         ),
     )
+
+
+def test_engine_names_validated(monkeypatch):
+    """Typo'd engine values (direct or via the MODMFCC_* env hatches) must
+    error, not silently run the default engine — the corrupted-A/B-sweep
+    failure mode knobs.py guards for blkf (code-review, r3 session 8)."""
+    from modulation_mfcc_tpu.ops.pitch import pitch_ac
+
+    sig, sr = _speechlike_sig()
+    xj = jnp.asarray(sig[:4096], dtype=jnp.float32)
+    with pytest.raises(ValueError, match="viterbi_engine"):
+        pyin_f0(xj, sr=float(sr), viterbi_engine="pallas-full")
+    with pytest.raises(ValueError, match="cmndf_engine"):
+        pyin_f0(xj, sr=float(sr), cmndf_engine="matmul")
+    with pytest.raises(ValueError, match="sinc_engine"):
+        pitch_ac(xj, sr=float(sr), sinc_engine="palas")
+    with pytest.raises(ValueError, match="ac_engine"):
+        pitch_ac(xj, sr=float(sr), ac_engine="dft")
+    monkeypatch.setenv("MODMFCC_VITERBI_ENGINE", "pallas_batch")
+    with pytest.raises(ValueError, match="viterbi_engine"):
+        pyin_f0(xj, sr=float(sr))
+    monkeypatch.setenv("MODMFCC_VITERBI_ENGINE", "auto")
+    # the cmndf env hatch resolves and pins the FFT form end-to-end
+    monkeypatch.setenv("MODMFCC_CMNDF_ENGINE", "fft")
+    a = np.asarray(pyin_f0(xj, sr=float(sr)))
+    b = np.asarray(pyin_f0(xj, sr=float(sr), cmndf_engine="fft"))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_viterbi_decode_batched_bit_identical(monkeypatch):
