@@ -163,10 +163,17 @@ def _masked_batch_throughput(n_super: int = 8) -> float:
     gen = jax.jit(lambda k: jax.random.normal(k, (n_super, 64, t_pad), jnp.float32))
     xs = [gen(k) for k in keys]
 
+    # masked_fir=True: the FIR-operator masked filtfilt (scan-free, exact ==
+    # scipy for utterances with >= min_len trajectory frames; the operator
+    # for this cfg has min_len 744 frames = 7.44 s and every length above is
+    # >= 8 s). Measured 2.9x the scan form on v5e (28.3 vs 9.9 h/s) — the
+    # scan path remains the fallback for sub-min_len utterances.
     @jax.jit
     def many(stack):
         def one_batch(xb):
-            tot, mask = batched_mfcc_change(AudioBatch(xb, lj), cfg, spectrum="pallas_bf16")
+            tot, mask = batched_mfcc_change(
+                AudioBatch(xb, lj), cfg, spectrum="pallas_bf16", masked_fir=True
+            )
             return jnp.sum(jnp.where(mask > 0, tot, 0.0))
 
         return jax.lax.map(one_batch, stack)

@@ -40,9 +40,44 @@ __all__ = [
 ]
 
 
-def _take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather along the last axis with an index vector (broadcast over lead)."""
-    return jnp.take(x, idx, axis=-1)
+def _shift_clamped(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """x[..., clip(i + s, 0, t-1)] for STATIC s as slice + edge tile.
+
+    The element-gather form of the same expression costs ~3 ms per call at
+    tracker scale on v5e (the ~9 ms-per-gather rule, DESIGN.md §3); this
+    concat lowers to two DMA copies."""
+    t = x.shape[-1]
+    if s == 0:
+        return x
+    if s > 0:
+        s = min(s, t - 1)
+        edge = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (s,))
+        return jnp.concatenate([x[..., s:], edge], axis=-1)
+    s = min(-s, t - 1)
+    edge = jnp.broadcast_to(x[..., :1], x.shape[:-1] + (s,))
+    return jnp.concatenate([edge, x[..., : t - s]], axis=-1)
+
+
+def _dyn_window(x: jnp.ndarray, start, out_len: int) -> jnp.ndarray:
+    """w[j] = x[..., start + j] for j in [0, out_len); ZERO where start+j
+    falls outside [0, t). ``start`` is a traced scalar (may be negative).
+
+    One dynamic_slice into a zero-padded buffer — under vmap this lowers
+    to a per-row contiguous-block slice (DMA), not the per-element gather
+    that jnp.take(clip(...)) produces."""
+    t = x.shape[-1]
+    z = jnp.zeros(x.shape[:-1] + (out_len,), x.dtype)
+    buf = jnp.concatenate([z, x, z], axis=-1)
+    s = jnp.clip(start + out_len, 0, t + out_len)
+    starts = (jnp.zeros((), s.dtype),) * (x.ndim - 1) + (s,)
+    return jax.lax.dynamic_slice(buf, starts, x.shape[:-1] + (out_len,))
+
+
+def _rev_window(x: jnp.ndarray, c, out_len: int) -> jnp.ndarray:
+    """r[j] = x[..., c - j] for j in [0, out_len); zero outside [0, t).
+    ``c`` traced. Implemented as a static flip + :func:`_dyn_window`."""
+    t = x.shape[-1]
+    return _dyn_window(jnp.flip(x, axis=-1), t - 1 - c, out_len)
 
 
 def masked_odd_ext(x: jnp.ndarray, length, padlen: int) -> jnp.ndarray:
@@ -50,25 +85,39 @@ def masked_odd_ext(x: jnp.ndarray, length, padlen: int) -> jnp.ndarray:
 
     x: [..., T]; length: traced scalar. Returns [..., T + 2*padlen] whose
     first ``length + 2*padlen`` entries equal scipy's odd_ext of x[:length];
-    the rest are zeros.
+    the rest are zeros. Gather-free: the left reflection is a static flip,
+    the middle is a pad, the right reflection is a flip + one dynamic
+    slice (see _dyn_window). Assumes the scipy-valid regime
+    ``padlen < length`` (scipy's filtfilt itself rejects shorter inputs);
+    degenerate lengths read zeros where the old clamped gather read edge
+    samples — both are outside the masked-output contract.
     """
     t = x.shape[-1]
-    j = jnp.arange(t + 2 * padlen) - padlen
+    out_t = t + 2 * padlen
+    j = jnp.arange(out_t) - padlen
     x0 = x[..., :1]
-    xe = _take(x, jnp.clip(length - 1, 0, t - 1)[None])  # [..., 1]
-    left = 2.0 * x0 - _take(x, jnp.clip(-j, 0, t - 1))
-    mid = _take(x, jnp.clip(j, 0, t - 1))
-    right = 2.0 * xe - _take(x, jnp.clip(2 * length - 2 - j, 0, t - 1))
+    xe = _dyn_window(x, jnp.clip(length - 1, 0, t - 1), 1)  # [..., 1]
+    if padlen == 0:
+        return jnp.where(j < length, x, 0.0)
+    # left reflection x[padlen - m], m in [0, padlen): static flip
+    npad = min(padlen, t - 1)
+    lcore = jnp.flip(x[..., 1 : npad + 1], axis=-1)
+    if npad < padlen:  # degenerate tiny buffer: clamp like the old gather
+        edge = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (padlen - npad,))
+        lcore = jnp.concatenate([edge, lcore], axis=-1)
+    zl = jnp.zeros(x.shape[:-1] + (out_t - padlen,), x.dtype)
+    left = 2.0 * x0 - jnp.concatenate([lcore, zl], axis=-1)
+    mid = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(padlen, padlen)])
+    # right reflection x[(2L-2+padlen) - m] over the whole output axis
+    right = 2.0 * xe - _rev_window(x, 2 * length - 2 + padlen, out_t)
     vals = jnp.where(j < 0, left, jnp.where(j < length, mid, right))
     return jnp.where(j < length + padlen, vals, 0.0)
 
 
 def masked_reverse(y: jnp.ndarray, ext_len) -> jnp.ndarray:
-    """Reverse the valid prefix [0, ext_len) of y along the last axis."""
-    t = y.shape[-1]
-    i = jnp.arange(t)
-    rev = _take(y, jnp.clip(ext_len - 1 - i, 0, t - 1))
-    return jnp.where(i < ext_len, rev, 0.0)
+    """Reverse the valid prefix [0, ext_len) of y along the last axis.
+    Gather-free: flip + one dynamic slice (zeros beyond the prefix)."""
+    return _rev_window(y, ext_len - 1, y.shape[-1])
 
 
 def masked_sosfiltfilt(
@@ -132,14 +181,17 @@ def masked_sosfiltfilt_fir(design, x: jnp.ndarray, length) -> jnp.ndarray:
     interior = jnp.pad(interior_full, pad_cfg)  # aligned: interior[i] ~ y[i]
     hi = jax.lax.Precision.HIGHEST
     left = jnp.matmul(x[..., :w], jnp.asarray(design.left.T, dtype=x.dtype), precision=hi)
-    win_idx = length - w + jnp.arange(w)
-    lastwin = _take(x, jnp.clip(win_idx, 0, t - 1))
+    # last valid window as ONE dynamic slice (length >= min_len >= w by the
+    # caller contract), not a clipped element gather
+    lastwin = _dyn_window(x, jnp.clip(length - w, 0, t - 1), w)
     right = jnp.matmul(lastwin, jnp.asarray(design.right.T, dtype=x.dtype), precision=hi)
-    # y[i] for i in [length-E, length) = right[i - (length-E)]
-    ridx = jnp.clip(i - (length - e), 0, e - 1)
-    right_full = _take(right, ridx)
-    lidx = jnp.clip(i, 0, e - 1)
-    left_full = _take(left, lidx)
+    # y[i] for i in [length-E, length) = right[i - (length-E)]: align the E
+    # edge rows to the output axis with one dynamic slice (zeros outside
+    # the selected region, which the where below never reads)
+    right_full = _dyn_window(right, e - length, t)
+    left_full = jnp.concatenate(
+        [left, jnp.zeros(left.shape[:-1] + (t - e,), left.dtype)], axis=-1
+    )
     out = jnp.where(
         i < e,
         left_full,
@@ -152,12 +204,12 @@ def masked_gradient(x: jnp.ndarray, length, spacing: float = 1.0) -> jnp.ndarray
     """np.gradient (edge_order=1) of x[..., :length] in a static buffer."""
     t = x.shape[-1]
     i = jnp.arange(t)
-    xp = _take(x, jnp.clip(i - 1, 0, t - 1))
-    xn = _take(x, jnp.clip(i + 1, 0, t - 1))
+    xp = _shift_clamped(x, -1)
+    xn = _shift_clamped(x, 1)
     central = (xn - xp) / (2.0 * spacing)
     left = (x[..., 1:2] - x[..., :1]) / spacing
-    xl1 = _take(x, jnp.clip(length - 1, 0, t - 1)[None])
-    xl2 = _take(x, jnp.clip(length - 2, 0, t - 1)[None])
+    xl1 = _dyn_window(x, jnp.clip(length - 1, 0, t - 1), 1)
+    xl2 = _dyn_window(x, jnp.clip(length - 2, 0, t - 1), 1)
     right = (xl1 - xl2) / spacing
     out = jnp.where(i == 0, left, jnp.where(i == length - 1, right, central))
     return jnp.where(i < length, out, 0.0)
@@ -181,7 +233,7 @@ def masked_savgol(
     # as correlation: out[i] = Σ_j c[w-1-j] · x[i-half+j]
     acc = jnp.zeros_like(x)
     for j, c in enumerate(np.asarray(coeffs)[::-1]):
-        acc = acc + float(c) * _take(x, jnp.clip(i - half + j, 0, t - 1))
+        acc = acc + float(c) * _shift_clamped(x, j - half)
     # left edge rows: E_left @ x[:w]
     e = np.asarray(edge_op)
     hi = jax.lax.Precision.HIGHEST  # scipy-parity edge blocks, bf16-proof
@@ -190,8 +242,9 @@ def masked_savgol(
         precision=hi,
     )
     # right edge rows: E_right @ x[L-w : L]
-    win_idx = length - window_length + jnp.arange(window_length)
-    lastwin = _take(x, jnp.clip(win_idx, 0, t - 1))
+    lastwin = _dyn_window(
+        x, jnp.clip(length - window_length, 0, t - 1), window_length
+    )
     right = jnp.matmul(
         lastwin, jnp.asarray(e[window_length - half :].T, dtype=x.dtype),
         precision=hi,
