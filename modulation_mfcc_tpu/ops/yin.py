@@ -499,13 +499,19 @@ def _pyin_f0_jit(
         jnp.where(active, prior, 0.0) * W[..., None, :], axis=-1
     )
 
-    # scatter back to lag order with a second stable sort on the carried
-    # lag index (unique per row — an exact gather-free unsort)
-    full = jnp.concatenate(
-        [probs_sorted, jnp.zeros(big_val.shape[:-1] + (L - K,), cm.dtype)],
-        axis=-1,
+    # scatter back to lag order via one-hot compare-multiply-reduce (the
+    # per-row lag ids tK are unique, so the one-hot sum IS the unsort).
+    # The sort-based unsort this replaces measured ~4.4 ms per call at
+    # tracker scale on v5e — each lax.sort costs that here regardless of
+    # band width — while this [NF, K, L] compare+select fuses into the
+    # reduction and streams. Rows whose trough count < K carry padded
+    # slots (tK from inf heights) — their probs_sorted mass is exactly 0
+    # (W vanishes past the last real segment), so they add nothing.
+    lanes = jnp.arange(L, dtype=tK.dtype)
+    probs = jnp.sum(
+        jnp.where(tK[..., :, None] == lanes, probs_sorted[..., :, None], 0.0),
+        axis=-2,
     )
-    _, probs = jax.lax.sort((taus, full), dimension=-1, num_keys=1)
 
     # thresholds with no trough below them → no_trough_prob mass at the
     # LOWEST TROUGH (librosa: argmin of trough heights — which may differ
