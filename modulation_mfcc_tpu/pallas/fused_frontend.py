@@ -111,14 +111,34 @@ def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple):
     build frames [blkf, K] from shifted sublane slices over the trimmed
     window support (frames[i, k·hop:(k+1)·hop] = rows[i+k, :hop]). One
     contiguous base is required — Mosaic cannot concat views with
-    mismatched sublane offsets across two buffers. The scratch dtype is the
-    transport dtype (bf16 in the corpus mode: the f32 round-trip it
-    replaces was exact on bf16 values, so outputs are bit-identical and
-    the staging copy + concat halve)."""
-    rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-    rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+    mismatched sublane offsets across two buffers, and the scratch stays
+    f32 (bf16 shifted-sublane concat views do not lower on real Mosaic —
+    see the row_dtype comment in fused_mel_frontend)."""
+    _stage_rows(main_ref, tail_ref, rows_vmem, blkf)
     parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
     return jnp.concatenate(parts, axis=-1)
+
+
+def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int):
+    """Copy the block's main+tail hop-rows into the staging scratch.
+
+    The input rows may be narrower than the scratch (hop < 128: the lane
+    pad is NOT materialized in HBM — the physical layout pads it anyway);
+    the scratch's pad lanes are zeroed ONCE at the first grid step (they
+    persist across steps) so the frame_mode='matmul' variant's full-width
+    reads meet zeros, never uninitialized VMEM (0·garbage could be NaN
+    against the zero weight rows)."""
+    hw = main_ref.shape[-1]
+    if hw < rows_vmem.shape[-1]:
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _init_pad_lanes():
+            rows_vmem[:, hw:] = jnp.zeros_like(rows_vmem[:, hw:])
+
+        rows_vmem[:blkf, :hw] = main_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[blkf:, :hw] = tail_ref[0].astype(rows_vmem.dtype)
+    else:
+        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
 
 
 def _emit(reim, mel_ref, out_ref, bmax_ref, *, mel_alg: str, out_dtype,
@@ -370,8 +390,9 @@ def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
     else:
         # frames @ W == Σ_k rows[k:k+blkf] @ W_k (W_k = rows of W for hop-
         # chunk k, zero-padded to the lane width): no frame materialization
-        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+        # (_stage_rows zeroes the scratch's pad lanes once, so the
+        # full-width lhs reads below meet zeros against the zero W rows)
+        _stage_rows(main_ref, tail_ref, rows_vmem, blkf)
         reim = jnp.zeros((blkf, 2 * bins_pad), dtype=jnp.float32)
         for k in range(len(widths)):
             lhs = rows_vmem[k : k + blkf, :]
@@ -524,8 +545,12 @@ def fused_mel_frontend(
         # VMEM staging copy (consistent with the mode's documented accuracy)
         audio_p = audio_p.astype(jnp.bfloat16)
     audio_p = audio_p.reshape(bsz, rows_total, hop)
-    if hop < lane:
-        audio_p = jnp.pad(audio_p, ((0, 0), (0, 0), (0, lane - hop)))
+    # NO explicit lane pad hop→128: the TPU physical layout of the hop-wide
+    # minor dim is lane-padded anyway, the kernels only ever read the first
+    # ``hop`` lanes of each staged row (widths ≤ hop), and the scratch's
+    # pad lanes are zero-initialized in-kernel once. Dropping the pad
+    # removes one full [B, rows, 128] HBM copy pass (~0.6 ms of the
+    # flagship's 8.4 ms device time, profiled r3 session 8).
 
     wr, wi = dft_bases(n_fft, "hann", win_length)
     n_bins_full = wr.shape[1]
@@ -707,14 +732,15 @@ def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
     observed). Scratch: rows staging in the transport dtype, plus the
     pipelined two-parity reim buffer."""
     tail_stride = blkf // _TAIL_ROWS
+    row_w = audio_p.shape[-1]  # hop-wide rows: the lane pad is implicit
     if pipelined:
         grid = (bsz, nj + 1)
         main_spec = pl.BlockSpec(
-            (1, blkf, lane), lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
+            (1, blkf, row_w), lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
             memory_space=pltpu.VMEM,
         )
         tail_spec = pl.BlockSpec(
-            (1, _TAIL_ROWS, lane),
+            (1, _TAIL_ROWS, row_w),
             lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
             memory_space=pltpu.VMEM,
         )
@@ -735,10 +761,10 @@ def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
     else:
         grid = (bsz, nj)
         main_spec = pl.BlockSpec(
-            (1, blkf, lane), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            (1, blkf, row_w), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
         )
         tail_spec = pl.BlockSpec(
-            (1, _TAIL_ROWS, lane),
+            (1, _TAIL_ROWS, row_w),
             lambda b, j: (b, (j + 1) * tail_stride, 0),
             memory_space=pltpu.VMEM,
         )
