@@ -56,7 +56,8 @@ def _chunk_frame_windows(n_samples: int, cfg: MfccConfig, frames_per_chunk: int)
 
 
 def chunked_mfcc_trajectories(
-    y: jnp.ndarray, cfg: MfccConfig, *, frames_per_chunk: int = 4096
+    y: jnp.ndarray, cfg: MfccConfig, *, frames_per_chunk: int = 4096,
+    mel_stack_cap_bytes: int = 512 * 1024 * 1024,
 ) -> jnp.ndarray:
     """MFCCs [NF, n_mfcc] of a long 1-D signal via lax.scan over chunks.
 
@@ -89,28 +90,56 @@ def chunked_mfcc_trajectories(
             win_length=cfg.win_length,
         )
 
-    # ONE scan: stream the mel chunks out ([NF, n_mels] at trajectory rate
-    # is ~500× smaller than the audio — storing it is cheap) while carrying
-    # the running mel peak for librosa's per-utterance top_db clip; the
-    # clip + DCT are elementwise/matmul on the stacked result, so a single
-    # pass computes exactly what the old peak-then-mfcc double scan did.
-    def mel_step(carry, start):
+    # librosa's per-utterance top_db clip needs the GLOBAL mel peak before
+    # the db clip + DCT. Two exact schedules, chosen by static size:
+    #   * single-pass (up to 512 MB of stacked mel — covers the 1-hour
+    #     bench at 369 MB, ~1.3 GB total transient on a 16 GB chip): one scan
+    #     streams the mel chunks out while carrying the running peak; clip
+    #     + DCT run on the stacked [NF, n_mels] result. NOTE the stack is
+    #     n_mels/hop ≈ 1.6× the AUDIO size, not small — hence the cap.
+    #   * two-pass (beyond the cap): the original peak-then-mfcc double
+    #     scan, whose live memory is one chunk of mel — the bounded-memory
+    #     schedule this module exists for (multi-hour streams).
+    # Both compute identical numbers (same mel_of_chunk, same clip, same
+    # HIGHEST DCT); only the schedule differs.
+    d = jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=y.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    # HIGHEST precision on the DCT matmuls: parity-grade like the
+    # whole-file path's _pdot (ops/spectral.py:263) — bf16-accumulated
+    # DEFAULT measured as the ENTIRE 2.6e-4 chunked-vs-whole gap on TPU
+    mel_stack_bytes = n_chunks * frames_per_chunk * cfg.n_mels * 4
+    if mel_stack_bytes <= mel_stack_cap_bytes:
+        def mel_step(carry, start):
+            m = mel_of_chunk(start)
+            fi = start // hop + jnp.arange(frames_per_chunk)
+            valid = (fi < nf)[:, None]
+            peak = jnp.max(jnp.where(valid, m, 0.0))
+            return jnp.maximum(carry, peak), m
+
+        peak, mels = jax.lax.scan(mel_step, jnp.asarray(0.0, y.dtype), starts)
+        log_peak = 10.0 * jnp.log10(jnp.maximum(peak, 1e-10))
+        db = 10.0 * jnp.log10(jnp.maximum(mels, 1e-10))
+        db = jnp.maximum(db, log_peak - 80.0)
+        out = jnp.matmul(db, d.T, precision=hi)
+        return out.reshape(n_chunks * frames_per_chunk, cfg.n_mfcc)[:nf]
+
+    def max_step(carry, start):
         m = mel_of_chunk(start)
         fi = start // hop + jnp.arange(frames_per_chunk)
         valid = (fi < nf)[:, None]
         peak = jnp.max(jnp.where(valid, m, 0.0))
-        return jnp.maximum(carry, peak), m
+        return jnp.maximum(carry, peak), None
 
-    peak, mels = jax.lax.scan(mel_step, jnp.asarray(0.0, y.dtype), starts)
+    peak, _ = jax.lax.scan(max_step, jnp.asarray(0.0, y.dtype), starts)
     log_peak = 10.0 * jnp.log10(jnp.maximum(peak, 1e-10))
 
-    d = jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels), dtype=y.dtype)
-    db = 10.0 * jnp.log10(jnp.maximum(mels, 1e-10))
-    db = jnp.maximum(db, log_peak - 80.0)
-    # HIGHEST precision: parity-grade DCT like the whole-file path's _pdot
-    # (ops/spectral.py:263) — bf16-accumulated DEFAULT here would break the
-    # "chunked == whole-file" claim on TPU (CLAUDE.md's 2.6e-3 bug class)
-    out = jnp.matmul(db, d.T, precision=jax.lax.Precision.HIGHEST)
+    def mfcc_step(_, start):
+        m = mel_of_chunk(start)
+        db = 10.0 * jnp.log10(jnp.maximum(m, 1e-10))
+        db = jnp.maximum(db, log_peak - 80.0)
+        return None, jnp.matmul(db, d.T, precision=hi)
+
+    _, out = jax.lax.scan(mfcc_step, None, starts)
     return out.reshape(n_chunks * frames_per_chunk, cfg.n_mfcc)[:nf]
 
 
@@ -150,14 +179,18 @@ def _trajectory_postprocess(
     return tot
 
 
-@partial(jax.jit, static_argnames=("cfg", "frames_per_chunk"))
+@partial(jax.jit, static_argnames=("cfg", "frames_per_chunk", "mel_stack_cap_bytes"))
 def chunked_mfcc_change(
-    y: jnp.ndarray, cfg: MfccConfig, *, frames_per_chunk: int = 4096
+    y: jnp.ndarray, cfg: MfccConfig, *, frames_per_chunk: int = 4096,
+    mel_stack_cap_bytes: int = 512 * 1024 * 1024,
 ) -> jnp.ndarray:
     """Long-form modulation cepstrum [NF] — streaming MFCC stage, exact
     trajectory tail (the trajectory is ~3 orders of magnitude smaller than
     the audio, so it never needs chunking)."""
-    m = chunked_mfcc_trajectories(y, cfg, frames_per_chunk=frames_per_chunk)
+    m = chunked_mfcc_trajectories(
+        y, cfg, frames_per_chunk=frames_per_chunk,
+        mel_stack_cap_bytes=mel_stack_cap_bytes,
+    )
     return _trajectory_postprocess(m, cfg)
 
 

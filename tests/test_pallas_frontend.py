@@ -427,3 +427,28 @@ def test_tracker_engine_env_resolved_before_jit_cache(monkeypatch):
         ("sinc", "xla"), ("vit", "xla"),
         ("sinc", "pallas"), ("vit", "pallas_full"),
     ]
+
+
+def test_matmul_frame_mode_matches_concat(audio):
+    """frame_mode='matmul' (per-hop-chunk weight rows, full-width scratch
+    reads) must equal the concat assembly. With the hop→128 lane pad no
+    longer materialized in HBM, this mode is the one consumer of the
+    scratch's zero-initialized pad lanes (pl.when at the first grid step;
+    the scratch persists across steps), so this pins that path."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    with pltpu.force_tpu_interpret_mode():
+        mel_c, bm_c = fused_mel_frontend(
+            audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0,
+            frame_mode="concat",
+        )
+        mel_m, bm_m = fused_mel_frontend(
+            audio, sr=16_000.0, hop=80, win_length=400, fmax=8000.0,
+            frame_mode="matmul",
+        )
+    np.testing.assert_allclose(
+        np.asarray(mel_m), np.asarray(mel_c), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bm_m), np.asarray(bm_c), rtol=1e-5, atol=1e-6
+    )

@@ -49,6 +49,13 @@ def test_chunked_longform_equals_wholefile(rng):
     whole = mfcc_change(y, cfg)
     chunked = chunked_mfcc_change(y, cfg, frames_per_chunk=512)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole), atol=1e-8)
+    # the bounded-memory two-pass schedule (forced via a zero mel-stack
+    # cap) must produce the identical numbers — it re-derives the mel per
+    # chunk instead of stacking it, nothing else
+    two_pass = chunked_mfcc_change(
+        y, cfg, frames_per_chunk=512, mel_stack_cap_bytes=0
+    )
+    np.testing.assert_array_equal(np.asarray(two_pass), np.asarray(chunked))
 
 
 def test_time_sharded_longform_matches_wholefile(rng):
