@@ -41,9 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     sw.add_argument("--out", required=True, help="output directory")
     sw.add_argument("--config", help="reference-schema JSON config file")
     sw.add_argument("--batch-size", type=int, default=32)
-    sw.add_argument("--spectrum", default="pallas",
-                    choices=("fft", "matmul", "pallas", "pallas_i16", "pallas_i24",
-                             "pallas_x3", "pallas_bf16"))
+    sw.add_argument("--spectrum", default="auto",
+                    choices=("auto", "fft", "matmul", "pallas", "pallas_i16",
+                             "pallas_i24", "pallas_x3", "pallas_bf16"),
+                    help="'auto' = pallas on TPU, matmul elsewhere")
     sw.add_argument("--features", default="mod_cepstr",
                     help="comma list: mod_cepstr, mfcc39, f0, envelope, formants")
     sw.add_argument("--no-resume", action="store_true")

@@ -125,7 +125,10 @@ class CorpusSweep:
     # device as int16 (the upload format), exactly the i16 mode's
     # exactness domain — ≤1e-4 MFCC parity at fixed-point speed.
     # 'pallas_bf16' is the throughput mode (BASELINE config #5).
-    spectrum: str = "pallas"
+    # 'auto' (default) = 'pallas' on TPU, 'matmul' elsewhere — the Pallas
+    # kernels only run on TPU (CPU would need interpret mode), and a
+    # corpus demo/test must work on any backend.
+    spectrum: str = "auto"
     resume: bool = True
     use_native_loader: bool = True  # C++ threaded decode+resample when built
     loader_threads: int = 4
@@ -262,6 +265,13 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     plus ``_done.txt`` for resume.
     """
     os.makedirs(sweep.out_dir, exist_ok=True)
+    if sweep.spectrum == "auto":
+        from dataclasses import replace as _dc_replace
+
+        import jax as _jax
+
+        spec = "pallas" if _jax.default_backend() == "tpu" else "matmul"
+        sweep = _dc_replace(sweep, spectrum=spec)
     out_names = _output_names(paths)
     done = _load_done(sweep) if sweep.resume else set()
     todo = [p for p in paths if p not in done]
