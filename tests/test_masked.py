@@ -85,3 +85,27 @@ def test_padded_batch_equals_per_file(speechlike, rng):
         nf = len(want)
         assert int(np.asarray(mask[i]).sum()) == nf
         np.testing.assert_allclose(tot_b[i, :nf], want, atol=1e-4, rtol=0)
+
+
+def test_masked_ops_degenerate_lengths_finite(rng):
+    """Sub-padlen / tiny lengths are outside the scipy-valid contract (the
+    masked output past ``length`` is unspecified and masked downstream),
+    but the VALID prefix must stay finite — the gather-free rewrite reads
+    explicit zeros where the old clamped gather read edge samples, and a
+    NaN/inf leak here would poison downstream reductions through the mask
+    (0 * nan = nan)."""
+    x = rng.standard_normal(64)
+    sos = sps.butter(6, 0.2, output="sos")
+    zi = sps.sosfilt_zi(sos)
+    padlen = 3 * (2 * sos.shape[0] + 1)
+    for L in (1, 2, 3, padlen - 1, padlen, padlen + 1):
+        ext = np.asarray(masked_odd_ext(jnp.asarray(x), jnp.asarray(L), padlen))
+        assert np.isfinite(ext).all(), L
+        y = np.asarray(
+            masked_sosfiltfilt(sos, zi, padlen, jnp.asarray(x), jnp.asarray(L))
+        )
+        assert np.isfinite(y[:L]).all(), L
+        g = np.asarray(masked_gradient(jnp.asarray(x), jnp.asarray(L)))
+        assert np.isfinite(g[:L]).all(), L
+        s = np.asarray(masked_savgol(jnp.asarray(x), 9, 2, jnp.asarray(L)))
+        assert np.isfinite(s[:L]).all(), L
