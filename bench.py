@@ -143,6 +143,34 @@ def _pyin_throughput(
     return batch * seconds / 3600.0 / best
 
 
+def _modspec_throughput(batch: int = 128, seconds: float = 30.0, n_super: int = 8) -> float:
+    """BASELINE config #3: batched second-stage STFT over the MFCC
+    coefficient trajectories (modulation power spectrum) — audio-h/s/chip
+    at 16 kHz through the bf16 front-end + the trajectory STFT."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulation_mfcc_tpu.models.config import MfccConfig
+    from modulation_mfcc_tpu.models.modulation import modulation_spectrum
+
+    sr = 16_000
+    cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+    t_pad = int(seconds * sr)
+    keys = jax.random.split(jax.random.PRNGKey(6), 2)
+    gen = jax.jit(lambda k: jax.random.normal(k, (n_super, batch, t_pad), jnp.float32))
+    xs = [gen(k) for k in keys]
+
+    @jax.jit
+    def many(stack):
+        return jax.lax.map(
+            lambda x: jnp.sum(modulation_spectrum(x, cfg, spectrum="pallas_bf16")),
+            stack,
+        )
+
+    best = _time_many(many, xs, n_super)
+    return batch * seconds / 3600.0 / best
+
+
 def _masked_batch_throughput(n_super: int = 8) -> float:
     """BASELINE config #2: 64 VARIABLE-length utterances, padded+masked
     modulation-cepstrum (exact per-file edges via ops/masked.py) —
@@ -443,6 +471,7 @@ def main() -> None:
     pyin = _try_engines("pyin_sweep", pyin_safe, _pyin_throughput, 8, seconds, 8)
     pyin16 = _try_engines("pyin_sweep_16k", pyin16_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
     masked = _try(_masked_batch_throughput)
+    modspec = _try(_modspec_throughput)
     longform = _try(_longform_1h_seconds)
     corpus = _try(_corpus_throughput)
     per_chip_target = 500.0 / 8.0
@@ -461,6 +490,7 @@ def main() -> None:
                 "pyin_sweep": pyin,
                 "pyin_sweep_16k": pyin16,
                 "masked_batch_64": masked,
+                "modspec_batch": modspec,
                 "longform_1h_s": longform,
                 "corpus_sweep": corpus,
                 # fields measured with the XLA engines because the Pallas

@@ -446,6 +446,7 @@ def modulation_spectrum(
     mod_n_fft: int = 128,
     mod_hop: int = 16,
     use_fft: bool = True,
+    spectrum: str | None = None,
 ) -> jnp.ndarray:
     """Second-stage STFT over MFCC coefficient trajectories.
 
@@ -453,10 +454,12 @@ def modulation_spectrum(
     (BASELINE.json config 3): each MFCC coefficient trajectory (sampled at
     1/tStep Hz) is analyzed with a second Hann-windowed rFFT. Implemented as
     the same static framing+matmul pattern, batched over coefficients.
+    ``spectrum`` selects the first-stage MFCC front-end like mfcc_change
+    (e.g. 'pallas_bf16' for the corpus-throughput mode on TPU).
     """
     from modulation_mfcc_tpu.ops.spectral import analysis_window, power_spectrum_fft
 
-    m = mfcc_trajectories(y, cfg, use_fft=use_fft)
+    m = mfcc_trajectories(y, cfg, use_fft=use_fft, spectrum=spectrum)
     if cfg.removeFirst:
         m = m[..., 1:]
     traj = jnp.swapaxes(m, -1, -2)  # [..., n_coef, n_frames]
