@@ -89,3 +89,23 @@ def test_config_json_roundtrip():
     d["mfcc"]["panel"] = 2
     cfg3 = config_from_reference_json(d)
     assert cfg3.mfcc == cfg.mfcc
+
+
+def test_modspec_conv_form_matches_fft(speechlike):
+    """The TPU strided-conv modulation-spectrum stage == the fft+framing
+    form to float reduction order (the conv is the DESIGN.md §3 rule-2
+    rewrite of the same windowed sliding dot)."""
+    from modulation_mfcc_tpu.models.modulation import _modspec_power_conv
+    from modulation_mfcc_tpu.ops.framing import frame_signal
+    from modulation_mfcc_tpu.ops.spectral import analysis_window, power_spectrum_fft
+
+    y, sr = speechlike
+    rng = np.random.default_rng(4)
+    traj = jnp.asarray(rng.standard_normal((3, 700)).astype(np.float32))
+    n, hop = 128, 16
+    want = np.asarray(
+        power_spectrum_fft(frame_signal(traj, n, hop), n, analysis_window(n, "hann", n))
+    )
+    got = np.asarray(_modspec_power_conv(traj, n, hop))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
