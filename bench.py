@@ -413,7 +413,56 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> bool:
     return False
 
 
+class _Watchdog:
+    """Emit the PARTIAL artifact and hard-exit if a field hangs.
+
+    The 2026-08-19 tunnel mode: backend init succeeds, then device
+    execution blocks FOREVER inside C++ (no exception, GIL released, so
+    neither ``except`` nor SIGALRM can fire in the main thread). The
+    subprocess probe catches this *before* the run; this thread catches it
+    *mid*-run — after ``timeout_s`` without the main thread disarming, it
+    prints whatever fields already completed as the artifact of record and
+    ``os._exit``\\ s so the driver is never left hanging."""
+
+    def __init__(self, emit, timeout_s: float):
+        import threading
+
+        self.emit = emit
+        self.timeout_s = timeout_s
+        self.deadline: float | None = None
+        self.field = ""
+        self._lock = threading.Lock()
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
+
+    def arm(self, field: str) -> None:
+        with self._lock:
+            self.field = field
+            self.deadline = time.time() + self.timeout_s
+
+    def disarm(self) -> None:
+        with self._lock:
+            self.deadline = None
+
+    def _watch(self) -> None:
+        import os
+
+        while True:
+            time.sleep(10.0)
+            with self._lock:
+                d, field = self.deadline, self.field
+            if d is not None and time.time() > d:
+                print(f"# field {field!r} hung > {self.timeout_s:.0f}s; "
+                      "emitting partial artifact", file=sys.stderr)
+                self.emit(error=f"{field} hung; partial artifact")
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0)
+
+
 def main() -> None:
+    import os
+
     if not _await_backend():
         # a dead remote backend HANGS jax calls (init blocks forever, no
         # error) — emit the null artifact instead of hanging the driver
@@ -426,13 +475,47 @@ def main() -> None:
         return
     batch, seconds, n_super = 128, 30.0, 8
 
+    per_chip_target = 500.0 / 8.0
+    fields: dict = {
+        "value": None, "f32_parity_mode": None, "i24_parity_mode": None,
+        "i16_parity_mode": None, "f32_x3_mode": None, "tracker_sweep": None,
+        "pyin_sweep": None, "pyin_sweep_16k": None, "masked_batch_64": None,
+        "modspec_batch": None, "longform_1h_s": None, "corpus_sweep": None,
+    }
+    engine_fallbacks: list = []
+
+    def _emit(error: str | None = None) -> None:
+        bf16 = fields["value"]
+        art = {
+            "metric": "mfcc_modulation_throughput",
+            "value": bf16,
+            "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
+            "vs_baseline": round(bf16 / per_chip_target, 4) if bf16 is not None else None,
+            **{k: v for k, v in fields.items() if k != "value"},
+            # fields measured with the XLA engines because the Pallas
+            # engine failed its gate or compile on this runtime (empty
+            # = every field ran the default engines)
+            "engine_fallbacks": engine_fallbacks,
+        }
+        if error is not None:
+            art["error"] = error
+        print(json.dumps(art))
+
+    # remote compiles for shapes not in the persistent cache take minutes
+    # (a fresh batch-2 masked program measured ~5 min) — the per-field
+    # deadline must clear a worst-case cold compile plus the run
+    dog = _Watchdog(_emit, float(os.environ.get("MODMFCC_BENCH_FIELD_TIMEOUT", "1500")))
+
     # every field is guarded: a failure in any one must not sink the artifact
     def _try(fn, *a, **k):
+        dog.arm(getattr(fn, "__name__", str(fn)))
         try:
             return round(fn(*a, **k), 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
             print(f"# {fn.__name__} failed: {e!r}", file=sys.stderr)
             return None
+        finally:
+            dog.disarm()
 
     bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
     if bf16 is None:
@@ -442,14 +525,14 @@ def main() -> None:
         # — but only if the probe answers, a dead backend hangs jax calls
         if _await_backend(max_tries=6):
             bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
-    f32 = _try(_throughput, "pallas", batch, seconds, n_super)
-    i24 = _try(_throughput, "pallas_i24", batch, seconds, n_super)
-    x3 = _try(_throughput, "pallas_x3", batch, seconds, n_super)
+    fields["value"] = bf16
+    fields["f32_parity_mode"] = _try(_throughput, "pallas", batch, seconds, n_super)
+    fields["i24_parity_mode"] = _try(_throughput, "pallas_i24", batch, seconds, n_super)
+    fields["f32_x3_mode"] = _try(_throughput, "pallas_x3", batch, seconds, n_super)
 
     # cross-engine gates, ONCE each (small compiles): a failed gate or a
     # failed Pallas timing demotes the field to the XLA engines and the
     # demotion is recorded in the artifact
-    engine_fallbacks = []
     tracker_safe = _try(_pitch_engines_agree) is None
     pyin_safe = _try(_pyin_engines_agree) is None
     # the 16 kHz field gets its own gate: the MXU CMNDF geometry (nfft,
@@ -466,40 +549,18 @@ def main() -> None:
             engine_fallbacks.append(name)
         return got
 
-    i16 = _try(_throughput, "pallas_i16", batch, seconds, n_super)
-    trackers = _try_engines("tracker_sweep", tracker_safe, _tracker_throughput, 16, seconds, 8)
-    pyin = _try_engines("pyin_sweep", pyin_safe, _pyin_throughput, 8, seconds, 8)
-    pyin16 = _try_engines("pyin_sweep_16k", pyin16_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
-    masked = _try(_masked_batch_throughput)
-    modspec = _try(_modspec_throughput)
-    longform = _try(_longform_1h_seconds)
-    corpus = _try(_corpus_throughput)
-    per_chip_target = 500.0 / 8.0
-    print(
-        json.dumps(
-            {
-                "metric": "mfcc_modulation_throughput",
-                "value": bf16,
-                "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
-                "vs_baseline": round(bf16 / per_chip_target, 4) if bf16 is not None else None,
-                "f32_parity_mode": f32,
-                "i24_parity_mode": i24,
-                "i16_parity_mode": i16,
-                "f32_x3_mode": x3,
-                "tracker_sweep": trackers,
-                "pyin_sweep": pyin,
-                "pyin_sweep_16k": pyin16,
-                "masked_batch_64": masked,
-                "modspec_batch": modspec,
-                "longform_1h_s": longform,
-                "corpus_sweep": corpus,
-                # fields measured with the XLA engines because the Pallas
-                # engine failed its gate or compile on this runtime (empty
-                # = every field ran the default engines)
-                "engine_fallbacks": engine_fallbacks,
-            }
-        )
-    )
+    fields["i16_parity_mode"] = _try(_throughput, "pallas_i16", batch, seconds, n_super)
+    fields["tracker_sweep"] = _try_engines(
+        "tracker_sweep", tracker_safe, _tracker_throughput, 16, seconds, 8)
+    fields["pyin_sweep"] = _try_engines(
+        "pyin_sweep", pyin_safe, _pyin_throughput, 8, seconds, 8)
+    fields["pyin_sweep_16k"] = _try_engines(
+        "pyin_sweep_16k", pyin16_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
+    fields["masked_batch_64"] = _try(_masked_batch_throughput)
+    fields["modspec_batch"] = _try(_modspec_throughput)
+    fields["longform_1h_s"] = _try(_longform_1h_seconds)
+    fields["corpus_sweep"] = _try(_corpus_throughput)
+    _emit()
 
 
 if __name__ == "__main__":
