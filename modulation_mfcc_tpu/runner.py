@@ -129,6 +129,9 @@ def run_verify(args) -> int:
                                                      voiced ≤ 0.2 Hz
       * pyin vs pyin_np                            — identical decoded
                                                      states (bit-for-bit)
+      * formants vs praat_formants_np              — ≥99% identical
+                                                     formant-count pattern,
+                                                     p99 ≤ 2 Hz
     """
     import jax.numpy as jnp
 
@@ -209,6 +212,33 @@ def run_verify(args) -> int:
     results["pyin"] = {
         "decoded_states_identical": states_ok, "max_voiced_rel": rel,
         "pass": states_ok and rel <= 1e-5,
+    }
+
+    # Formants: full Burg chain (pre-emphasis → Praat Gaussian window →
+    # Burg → Durand-Kerner roots → band filter → sort) vs the float64
+    # np.roots oracle (reference: calc.py:131-148 to_formant_burg).
+    # Default engine on purpose — on TPU that certifies the Pallas VMEM
+    # Burg kernel production dispatches. Bars sized to the measured f32
+    # input-rounding envelope (CPU f32: pattern identical, p99 0.31 Hz,
+    # max 7.6 Hz): marginal frames may flip a near-band-edge root, the
+    # track as a whole must sit at oracle precision.
+    from modulation_mfcc_tpu.ops.lpc import lpc_formants
+
+    _, want_ff, _ = oracle.praat_formants_np(y, float(sr), max_formant=sr / 2)
+    got_ff = np.asarray(
+        lpc_formants(yj, sr=float(sr), max_formant=sr / 2)[0], dtype=np.float64
+    )
+    if got_ff.shape == want_ff.shape:
+        pattern = float((np.isfinite(got_ff) == np.isfinite(want_ff)).mean())
+        mf = np.isfinite(got_ff) & np.isfinite(want_ff)
+        df = np.abs(got_ff[mf] - want_ff[mf])
+        fp99 = float(np.quantile(df, 0.99)) if mf.any() else 0.0
+        fmax = float(np.max(df)) if mf.any() else 0.0
+    else:
+        pattern, fp99, fmax = 0.0, float("inf"), float("inf")
+    results["formants"] = {
+        "pattern_agreement": pattern, "p99_hz": fp99, "max_hz": fmax,
+        "pass": pattern >= 0.99 and fp99 <= 2.0 and fmax <= 30.0,
     }
 
     ok = all(r["pass"] for r in results.values())
