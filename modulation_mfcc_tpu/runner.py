@@ -214,6 +214,41 @@ def run_verify(args) -> int:
         "pass": states_ok and rel <= 1e-5,
     }
 
+    # Envelope (RMS, the reference default method): float64 mirror of
+    # rms_envelope's exact geometry — centered zero padding, frame starts
+    # on the hop grid (reference: mfcc.py:137-150 get_amplitude).
+    from modulation_mfcc_tpu.models.envelope import amplitude_envelope
+    from modulation_mfcc_tpu.models.config import AmplitudeConfig
+    from modulation_mfcc_tpu.ops.hilbert import hilbert_envelope
+
+    acfg = AmplitudeConfig()
+    W, H = int(acfg.winLen * sr), int(acfg.hopLen * sr)
+    pad = W // 2
+    yp = np.pad(y, (pad, pad))
+    nf_amp = 1 + (len(y) + 2 * pad - W) // H
+    want_amp = np.sqrt(np.array(
+        [np.mean(yp[k * H : k * H + W] ** 2) for k in range(nf_amp)]
+    ))
+    got_amp = np.asarray(amplitude_envelope(yj, float(sr), acfg), np.float64)
+    amp_ok = got_amp.shape == want_amp.shape
+    err = float(np.max(np.abs(got_amp - want_amp))) if amp_ok else float("inf")
+    results["envelope_rms"] = {
+        "max_abs_err": err, "tolerance": 1e-4, "pass": amp_ok and err <= 1e-4,
+    }
+
+    # Hilbert envelope: certifies the real-only analytic-magnitude
+    # formulation (ops/hilbert.py — complex never crosses the host/device
+    # boundary) against scipy.signal.hilbert in float64.
+    import scipy.signal as _sps
+
+    want_h = np.abs(_sps.hilbert(y))
+    got_h = np.asarray(hilbert_envelope(yj), np.float64)
+    h_ok = got_h.shape == want_h.shape
+    err = float(np.max(np.abs(got_h - want_h))) if h_ok else float("inf")
+    results["envelope_hilbert"] = {
+        "max_abs_err": err, "tolerance": 1e-3, "pass": h_ok and err <= 1e-3,
+    }
+
     # Formants: full Burg chain (pre-emphasis → Praat Gaussian window →
     # Burg → Durand-Kerner roots → band filter → sort) vs the float64
     # np.roots oracle (reference: calc.py:131-148 to_formant_burg).
