@@ -413,6 +413,43 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> bool:
     return False
 
 
+def _tests_green() -> dict:
+    """Read the conftest suite stamp (.pytest_status.json) and judge it
+    against the HEAD being benched. `tests_green` is True only for a
+    passing, un-subset (`-k`-free) full-suite run at this exact commit —
+    the round-3 artifact shipped from a red suite and nothing caught it."""
+    import pathlib
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent
+    out: dict = {"tests_green": None, "tests_green_detail": "no suite stamp"}
+    p = repo / ".pytest_status.json"
+    if not p.exists():
+        return out
+    try:
+        stamp = json.loads(p.read_text())
+        head = subprocess.run(
+            ["git", "-C", str(repo), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception as e:  # noqa: BLE001
+        out["tests_green_detail"] = f"stamp unreadable: {e!r}"
+        return out
+    reasons = []
+    if stamp.get("exitstatus") != 0:
+        reasons.append(f"exitstatus={stamp.get('exitstatus')}")
+    if stamp.get("deselected"):
+        reasons.append(f"{stamp['deselected']} tests deselected")
+    if head and stamp.get("git_head") != head:
+        reasons.append(f"stamp at {str(stamp.get('git_head'))[:12]} != HEAD {head[:12]}")
+    out["tests_green"] = not reasons
+    out["tests_green_detail"] = (
+        f"full suite ({stamp.get('collected')} tests) green at HEAD"
+        if not reasons else "; ".join(reasons)
+    )
+    return out
+
+
 class _Watchdog:
     """Emit the PARTIAL artifact and hard-exit if a field hangs.
 
@@ -436,9 +473,11 @@ class _Watchdog:
         t.start()
 
     def arm(self, field: str) -> None:
+        # monotonic: an NTP wall-clock step must neither fire the watchdog
+        # spuriously (step forward) nor delay real hang detection (backward)
         with self._lock:
             self.field = field
-            self.deadline = time.time() + self.timeout_s
+            self.deadline = time.monotonic() + self.timeout_s
 
     def disarm(self) -> None:
         with self._lock:
@@ -451,13 +490,18 @@ class _Watchdog:
             time.sleep(10.0)
             with self._lock:
                 d, field = self.deadline, self.field
-            if d is not None and time.time() > d:
+            if d is not None and time.monotonic() > d:
                 print(f"# field {field!r} hung > {self.timeout_s:.0f}s; "
                       "emitting partial artifact", file=sys.stderr)
-                self.emit(error=f"{field} hung; partial artifact")
-                sys.stdout.flush()
-                sys.stderr.flush()
-                os._exit(0)
+                try:
+                    # the watchdog's ONE job is terminating the hung
+                    # process — a bug in artifact assembly must not leave
+                    # it hanging forever with only this thread dead
+                    self.emit(error=f"{field} hung; partial artifact")
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                finally:
+                    os._exit(0)
 
 
 def main() -> None:
@@ -471,6 +515,7 @@ def main() -> None:
             "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
             "vs_baseline": None,
             "error": "TPU backend unreachable after backend-probe patience",
+            **_tests_green(),
         }))
         return
     batch, seconds, n_super = 128, 30.0, 8
@@ -496,6 +541,7 @@ def main() -> None:
             # engine failed its gate or compile on this runtime (empty
             # = every field ran the default engines)
             "engine_fallbacks": engine_fallbacks,
+            **_tests_green(),
         }
         if error is not None:
             art["error"] = error
@@ -507,28 +553,35 @@ def main() -> None:
     dog = _Watchdog(_emit, float(os.environ.get("MODMFCC_BENCH_FIELD_TIMEOUT", "1500")))
 
     # every field is guarded: a failure in any one must not sink the artifact
-    def _try(fn, *a, **k):
-        dog.arm(getattr(fn, "__name__", str(fn)))
+    def _try(fn, *a, _label: str | None = None, **k):
+        # arm with the artifact-field label, not fn.__name__ — six modes
+        # share '_throughput' and a partial artifact must name the hung one
+        dog.arm(_label or getattr(fn, "__name__", str(fn)))
         try:
             return round(fn(*a, **k), 3)
         except Exception as e:  # noqa: BLE001 — report, don't die
-            print(f"# {fn.__name__} failed: {e!r}", file=sys.stderr)
+            print(f"# {_label or fn.__name__} failed: {e!r}", file=sys.stderr)
             return None
         finally:
             dog.disarm()
 
-    bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
+    bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super,
+                _label="bf16_headline")
     if bf16 is None:
         # the headline: re-probe the backend (a mid-run tunnel flap
         # poisons this process's cached backend only for NEW compiles, and
         # a subprocess probe tells us whether waiting can help) and retry
         # — but only if the probe answers, a dead backend hangs jax calls
         if _await_backend(max_tries=6):
-            bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super)
+            bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super,
+                        _label="bf16_headline")
     fields["value"] = bf16
-    fields["f32_parity_mode"] = _try(_throughput, "pallas", batch, seconds, n_super)
-    fields["i24_parity_mode"] = _try(_throughput, "pallas_i24", batch, seconds, n_super)
-    fields["f32_x3_mode"] = _try(_throughput, "pallas_x3", batch, seconds, n_super)
+    fields["f32_parity_mode"] = _try(
+        _throughput, "pallas", batch, seconds, n_super, _label="f32_parity_mode")
+    fields["i24_parity_mode"] = _try(
+        _throughput, "pallas_i24", batch, seconds, n_super, _label="i24_parity_mode")
+    fields["f32_x3_mode"] = _try(
+        _throughput, "pallas_x3", batch, seconds, n_super, _label="f32_x3_mode")
 
     # cross-engine gates, ONCE each (small compiles): a failed gate or a
     # failed Pallas timing demotes the field to the XLA engines and the
@@ -540,26 +593,27 @@ def main() -> None:
     pyin16_safe = _try(_pyin_engines_agree, sr=16_000) is None
 
     def _try_engines(name, safe0, fn, *a, **k):
-        got = _try(fn, *a, safe=safe0, **k)
+        got = _try(fn, *a, safe=safe0, _label=name, **k)
         if got is None and not safe0:
-            got = _try(fn, *a, safe=True, **k)
+            got = _try(fn, *a, safe=True, _label=name, **k)
             if got is not None:
                 engine_fallbacks.append(name)
         elif safe0:
             engine_fallbacks.append(name)
         return got
 
-    fields["i16_parity_mode"] = _try(_throughput, "pallas_i16", batch, seconds, n_super)
+    fields["i16_parity_mode"] = _try(
+        _throughput, "pallas_i16", batch, seconds, n_super, _label="i16_parity_mode")
     fields["tracker_sweep"] = _try_engines(
         "tracker_sweep", tracker_safe, _tracker_throughput, 16, seconds, 8)
     fields["pyin_sweep"] = _try_engines(
         "pyin_sweep", pyin_safe, _pyin_throughput, 8, seconds, 8)
     fields["pyin_sweep_16k"] = _try_engines(
         "pyin_sweep_16k", pyin16_safe, _pyin_throughput, 8, seconds, 8, sr=16_000)
-    fields["masked_batch_64"] = _try(_masked_batch_throughput)
-    fields["modspec_batch"] = _try(_modspec_throughput)
-    fields["longform_1h_s"] = _try(_longform_1h_seconds)
-    fields["corpus_sweep"] = _try(_corpus_throughput)
+    fields["masked_batch_64"] = _try(_masked_batch_throughput, _label="masked_batch_64")
+    fields["modspec_batch"] = _try(_modspec_throughput, _label="modspec_batch")
+    fields["longform_1h_s"] = _try(_longform_1h_seconds, _label="longform_1h_s")
+    fields["corpus_sweep"] = _try(_corpus_throughput, _label="corpus_sweep")
     _emit()
 
 

@@ -129,6 +129,8 @@ def run_verify(args) -> int:
                                                      voiced ≤ 0.2 Hz
       * pyin vs pyin_np                            — identical decoded
                                                      states (bit-for-bit)
+      * envelope rms vs inline float64 mirror      — max-abs ≤ 1e-4
+      * envelope hilbert vs scipy.signal.hilbert   — max-abs ≤ 1e-3
       * formants vs praat_formants_np              — ≥99% identical
                                                      formant-count pattern,
                                                      p99 ≤ 2 Hz

@@ -31,6 +31,54 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_DESELECTED = 0
+
+
+def pytest_deselected(items):
+    global _DESELECTED
+    _DESELECTED += len(items)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Stamp the suite outcome so bench.py can record `tests_green` in the
+    artifact (round-3 verdict: an artifact round shipped with a red suite
+    and nothing caught it — the bench watchdog guards hangs, not test rot).
+
+    The stamp records the git HEAD it ran at; bench.py reports green only
+    when the stamp is green, complete (no -k/-x subsetting), and matches
+    the HEAD being benched."""
+    import json
+    import pathlib
+    import subprocess
+    import time
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    try:
+        head = subprocess.run(
+            ["git", "-C", str(repo), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "-C", str(repo), "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:
+        head, dirty = "", True
+    stamp = {
+        "exitstatus": int(exitstatus),
+        "collected": int(getattr(session, "testscollected", 0)),
+        "deselected": _DESELECTED,
+        "args": list(session.config.invocation_params.args),
+        "git_head": head,
+        "git_dirty": dirty,
+        "time": time.time(),
+    }
+    try:
+        (repo / ".pytest_status.json").write_text(json.dumps(stamp))
+    except OSError:
+        pass
+
+
 @pytest.fixture()
 def rng():
     # function-scoped: every test sees the same deterministic stream

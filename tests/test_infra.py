@@ -92,9 +92,13 @@ def test_cli_verify_harness():
     assert out.returncode == 0, out.stdout[-800:] + out.stderr[-500:]
     lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert lines[-1] == {"overall_pass": True}
-    assert {l["surface"] for l in lines[:-1]} == {
-        "mod_cepstr", "intensity", "pitch_ac", "pyin"
-    }
+    surfaces = {l["surface"] for l in lines[:-1]}
+    # The harness may grow surfaces over time; assert the core set is a
+    # subset so this test doesn't rot the way the 4-surface assert did.
+    assert surfaces >= {
+        "mod_cepstr", "intensity", "pitch_ac", "pyin",
+        "formants", "envelope_rms", "envelope_hilbert",
+    }, surfaces
 
 
 def test_cli_info_smoke():
