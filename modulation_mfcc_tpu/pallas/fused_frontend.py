@@ -539,6 +539,11 @@ def fused_mel_frontend(
         i24_scale = (127.0 * 65536.0 - 33000.0) / jnp.maximum(
             amax.astype(jnp.float32), 1e-20
         )
+    # NOTE r4: reformulating this prep chain (concat-instead-of-pad,
+    # cast-before/after-pad) measured a wash on v5e (9.75/9.85/9.86/9.93
+    # ms/batch end-to-end) — XLA canonicalizes all four to the same program.
+    # The residual ~2.3 ms of pad/convert/relayout around the kernel can only
+    # move in-kernel (DMA from the flat audio ref), not by jnp rephrasing.
     audio_p = jnp.pad(audio, ((0, 0), (eff_pad, total - t - eff_pad)))
     if algorithm == "bf16":
         # corpus mode: bf16 samples at rest halve audio HBM traffic and the
@@ -933,28 +938,65 @@ def _tail_kernel(mel_ref, peak_ref, dct_ref, out_ref, *, n_mfcc: int):
     )
 
 
-def mfcc_tail(mel: jnp.ndarray, peak: jnp.ndarray, n_mfcc: int, blkf: int = 1024) -> jnp.ndarray:
+def _tail_kernel_t(mel_ref, peak_ref, dct_ref, out_ref, *, co: int):
+    """Coef-major tail: same dB/clip/DCT, output TRANSPOSED in-kernel to
+    [co, blkf] (Mosaic 2D transpose measured free vs the copy itself on
+    v5e). Writing [B, co, NF] instead of [B, NF, 128-padded] cuts the tail
+    write 8x AND hands the downstream filter chain its natural coef-major
+    layout — the XLA transpose it replaces measured 0.85 ms/batch on the
+    flagship (r4 profile), on top of a 403->50 MB write saving."""
+    b = pl.program_id(0)
+    mel = mel_ref[0].astype(jnp.float32)
+    db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    db = jnp.maximum(db, peak_ref[b, 0] - 80.0)
+    res = jnp.dot(
+        db, dct_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[0] = res[:, :co].T
+
+
+def mfcc_tail(
+    mel: jnp.ndarray, peak: jnp.ndarray, n_mfcc: int, blkf: int = 1024,
+    transposed: bool = False,
+) -> jnp.ndarray:
     """Fused dB/clip/DCT over mel [B, NF_pad, n_mels] with per-batch-item
-    db peaks [B] (librosa power_to_db top_db=80 + DCT-II ortho)."""
+    db peaks [B] (librosa power_to_db top_db=80 + DCT-II ortho).
+
+    ``transposed=True`` returns coef-major [B, n_mfcc, NF_pad] (the layout
+    the modulation filter chain consumes) via an in-kernel transpose."""
     bsz, nf_pad, n_mels = mel.shape
     nj = nf_pad // blkf
     out_cols = round_up_to_multiple(n_mfcc, 128)
     dct_p = np.zeros((n_mels, out_cols), np.float32)
     dct_p[:, :n_mfcc] = dct_matrix(n_mfcc, n_mels).T
-    kern = partial(_tail_kernel, n_mfcc=n_mfcc)
+    in_specs = [
+        pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsz, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_mels, out_cols), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (mel, peak.reshape(bsz, 1), jnp.asarray(dct_p))
+    if transposed:
+        co = round_up_to_multiple(n_mfcc, 8)  # f32 sublane granularity
+        out = pl.pallas_call(
+            partial(_tail_kernel_t, co=co),
+            grid=(bsz, nj),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, co, blkf), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, co, nf_pad), jnp.float32),
+        )(*args)
+        return out[:, :n_mfcc, :]
     out = pl.pallas_call(
-        kern,
+        partial(_tail_kernel, n_mfcc=n_mfcc),
         grid=(bsz, nj),
-        in_specs=[
-            pl.BlockSpec((1, blkf, n_mels), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_mels, out_cols), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, blkf, out_cols), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, nf_pad, out_cols), jnp.float32),
-    )(mel, peak.reshape(bsz, 1), jnp.asarray(dct_p))
+    )(*args)
     return out[..., :n_mfcc]
 
 
@@ -972,8 +1014,11 @@ def fused_mfcc(
     compute_dtype=jnp.float32,
     frame_mask: jnp.ndarray | None = None,
     algorithm: str | None = None,
+    transposed: bool = False,
 ) -> jnp.ndarray:
-    """MFCC [B, NF, n_mfcc] via the fused kernels.
+    """MFCC [B, NF, n_mfcc] via the fused kernels — or coef-major
+    [B, n_mfcc, NF] with ``transposed=True`` (same numbers, transposed
+    inside the tail kernel where it is free; see :func:`_tail_kernel_t`).
 
     librosa semantics (power=2, power_to_db top_db=80, DCT-II ortho), same
     contract as ops/spectral.mfcc_from_frames. ``algorithm`` ∈
@@ -1020,5 +1065,8 @@ def fused_mfcc(
         # block maxes are masked to frames < nf inside the kernel
         pmax = jnp.max(bmax, axis=(1, 2, 3))
     peak = 10.0 * jnp.log10(jnp.maximum(pmax, 1e-10))
-    out = mfcc_tail(mel, peak, n_mfcc, blkf=blkf)[:, :nf, :]
+    if transposed:
+        out = mfcc_tail(mel, peak, n_mfcc, blkf=blkf, transposed=True)[..., :nf]
+    else:
+        out = mfcc_tail(mel, peak, n_mfcc, blkf=blkf)[:, :nf, :]
     return out[0] if single else out
