@@ -15,6 +15,7 @@ def test_verify_all_surfaces_pass(capsys):
     assert rc == 0, out
     assert overall and overall[0]["overall_pass"] is True
     assert surfaces == {
-        "mod_cepstr", "intensity", "pitch_ac", "pyin",
-        "envelope_rms", "envelope_hilbert", "formants",
+        "mod_cepstr", "intensity", "pitch_ac", "pitch_cc", "minmax_quant",
+        "pyin", "envelope_rms", "envelope_hilbert", "envelope_rmspraat",
+        "formants", "padded_batch",
     }
