@@ -64,10 +64,29 @@ def pytest_sessionfinish(session, exitstatus):
         ).stdout.strip())
     except Exception:
         head, dirty = "", True
+    # full_run: every positional arg resolves to the whole tests dir (or the
+    # repo root) and no -k/-m filter narrowed collection. Without this a
+    # `pytest tests/test_one.py` run stamped itself as the suite and bench.py
+    # reported "full suite (2 tests) green" — the exact rot the stamp exists
+    # to catch (r4 session-1 artifact did exactly that).
+    tests_dir = pathlib.Path(__file__).resolve().parent
+    full_run = not (
+        session.config.option.keyword or session.config.option.markexpr
+    )
+    for a in session.config.args:
+        try:
+            pa = pathlib.Path(a.split("::")[0]).resolve()
+        except OSError:
+            full_run = False
+            break
+        if pa not in (tests_dir, repo) or "::" in a:
+            full_run = False
+            break
     stamp = {
         "exitstatus": int(exitstatus),
         "collected": int(getattr(session, "testscollected", 0)),
         "deselected": _DESELECTED,
+        "full_run": full_run,
         "args": list(session.config.invocation_params.args),
         "git_head": head,
         "git_dirty": dirty,
