@@ -282,18 +282,27 @@ def _corpus_throughput(n_files: int = 96, seconds: float = 30.0) -> float:
                 resume=False,
             )
             t0 = time.perf_counter()
-            sweep_mfcc_change(subset, sweep)
-            return time.perf_counter() - t0
+            report = sweep_mfcc_change(subset, sweep)
+            return time.perf_counter() - t0, report
 
         # warm with one FULL batch so the warm run compiles the same
         # batch-32 executable the main run uses (a 2-file warm compiles a
         # separate masked tiny-batch program — minutes on the remote
         # compile service, entirely avoidable)
         run(paths[: min(32, n_files)], "warm")
-        wall = run(paths, "main")
+        wall, report = run(paths, "main")
+        # per-stage breakdown into the artifact (r3 verdict #3: the
+        # end-to-end number must show WHERE the wall went)
+        _LAST_CORPUS_STATS.clear()
+        _LAST_CORPUS_STATS.update(report.get("stages", {}))
+        _LAST_CORPUS_STATS["wall_s"] = round(wall, 3)
         return n_files * seconds / 3600.0 / wall
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# stage breakdown of the last _corpus_throughput main run (artifact field)
+_LAST_CORPUS_STATS: dict = {}
 
 
 def _speechlike_batch(sr: int, seconds: float = 3.0, nb: int = 2):
@@ -440,6 +449,8 @@ def _tests_green() -> dict:
         reasons.append(f"exitstatus={stamp.get('exitstatus')}")
     if stamp.get("deselected"):
         reasons.append(f"{stamp['deselected']} tests deselected")
+    if not stamp.get("full_run"):
+        reasons.append("stamp is not a whole-tests-dir run")
     if head and stamp.get("git_head") != head:
         reasons.append(f"stamp at {str(stamp.get('git_head'))[:12]} != HEAD {head[:12]}")
     out["tests_green"] = not reasons
@@ -526,6 +537,7 @@ def main() -> None:
         "i16_parity_mode": None, "f32_x3_mode": None, "tracker_sweep": None,
         "pyin_sweep": None, "pyin_sweep_16k": None, "masked_batch_64": None,
         "modspec_batch": None, "longform_1h_s": None, "corpus_sweep": None,
+        "corpus_stats": None,
     }
     engine_fallbacks: list = []
 
@@ -614,6 +626,8 @@ def main() -> None:
     fields["modspec_batch"] = _try(_modspec_throughput, _label="modspec_batch")
     fields["longform_1h_s"] = _try(_longform_1h_seconds, _label="longform_1h_s")
     fields["corpus_sweep"] = _try(_corpus_throughput, _label="corpus_sweep")
+    if _LAST_CORPUS_STATS:
+        fields["corpus_stats"] = dict(_LAST_CORPUS_STATS)
     _emit()
 
 

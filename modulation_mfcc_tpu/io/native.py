@@ -115,12 +115,30 @@ class NativeBatchLoader:
 
     COMMON_RATES = (8000, 11025, 16000, 22050, 32000, 44100, 48000, 96000)
 
-    def __init__(self, target_sr: int, n_threads: int = 4, source_rates=None):
+    def __init__(self, target_sr: int, n_threads: int = 4, source_rates=None,
+                 want_i16: bool = False):
+        """``want_i16=True``: 16-bit PCM files that need no resampling come
+        back as raw np.int16 (the corpus upload grid) instead of float32 —
+        no conversion pass, and the consumer can skip its on-grid check.
+        Requires the v2 native ABI (falls back to float32 on a stale .so)."""
         lib = _lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
         self._lib = lib
-        self._h = lib.modmfcc_loader_create(n_threads, target_sr)
+        self._i16 = bool(want_i16) and hasattr(lib, "modmfcc_loader_create2")
+        if self._i16:
+            lib.modmfcc_loader_create2.restype = ctypes.c_void_p
+            lib.modmfcc_loader_create2.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.modmfcc_loader_next2.restype = ctypes.c_int
+            lib.modmfcc_loader_next2.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+            ]
+            self._h = lib.modmfcc_loader_create2(n_threads, target_sr, 1)
+        else:
+            self._h = lib.modmfcc_loader_create(n_threads, target_sr)
         self._submitted = 0
         self._taps_alive = []
         import math
@@ -143,6 +161,24 @@ class NativeBatchLoader:
 
     def __iter__(self):
         while True:
+            if self._i16:
+                vdata = ctypes.c_void_p()
+                n = ctypes.c_long()
+                fmt = ctypes.c_int()
+                idx = self._lib.modmfcc_loader_next2(
+                    self._h, ctypes.byref(vdata), ctypes.byref(n), ctypes.byref(fmt)
+                )
+                if idx < 0:
+                    return
+                if n.value < 0:
+                    yield idx, None
+                    continue
+                ctyp = ctypes.c_int16 if fmt.value else ctypes.c_float
+                ptr = ctypes.cast(vdata, ctypes.POINTER(ctyp))
+                out = np.ctypeslib.as_array(ptr, shape=(n.value,)).copy()
+                self._lib.modmfcc_free(vdata)
+                yield idx, out
+                continue
             data = ctypes.POINTER(ctypes.c_float)()
             n = ctypes.c_long()
             idx = self._lib.modmfcc_loader_next(self._h, ctypes.byref(data), ctypes.byref(n))

@@ -202,8 +202,15 @@ def _decode_stream(paths, sweep: CorpusSweep):
 def _decode_stream_native(paths, sweep: CorpusSweep):
     from modulation_mfcc_tpu.io.native import NativeBatchLoader
 
+    # int16 passthrough: 16-bit PCM at the target rate never becomes f32 on
+    # the host — decode, pad and upload all stay on the int16 grid (half the
+    # link bytes AND none of the ×2¹⁵/min-max/astype/array_equal passes the
+    # f32 grid-check needs; measured the single biggest host cost at corpus
+    # scale on this 1-core host). Device side dequantizes exactly
+    # (parallel/batch.dequantize_samples), same as the grid-check path.
     loader = NativeBatchLoader(
-        int(sweep.cfg.signal_sample_rate), n_threads=sweep.loader_threads
+        int(sweep.cfg.signal_sample_rate), n_threads=sweep.loader_threads,
+        want_i16=True,
     )
     try:
         for i, p in enumerate(paths):
@@ -218,24 +225,64 @@ def _decode_stream_native(paths, sweep: CorpusSweep):
         loader.close()
 
 
-def _bucketed_batches(items, sweep: CorpusSweep):
+def _timed_iter(gen, stats: dict, key: str):
+    """Accumulate the time the wrapped generator spends PRODUCING each item
+    (stage busy time as seen by its consumer thread) into ``stats[key]``."""
+    import time
+
+    it = iter(gen)
+    while True:
+        t0 = time.perf_counter()
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        stats[key] += time.perf_counter() - t0
+        yield item
+
+
+def _bucketed_batches(items, sweep: CorpusSweep, stats: dict | None = None):
     """Group decoded files into fixed-size padded batches by length bucket."""
-    buckets: dict[int, list] = {}
+    import time
+
+    buckets: dict[tuple, list] = {}
     for path, y in items:
         from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 
-        key = round_up_to_multiple(len(y), sweep.bucket_multiple)
+        # dtype is part of the bucket key: int16-passthrough files and
+        # float32 files (resampled / float-source) never share a batch, so
+        # each batch uploads in its own format
+        key = (
+            round_up_to_multiple(len(y), sweep.bucket_multiple),
+            y.dtype == np.int16,
+        )
         buckets.setdefault(key, []).append((path, y))
         if len(buckets[key]) == sweep.batch_size:
-            yield _make_batch(buckets.pop(key), key)
+            group = buckets.pop(key)
+            t0 = time.perf_counter()
+            b = _make_batch(group, key[0])
+            if stats is not None:
+                stats["assemble_busy_s"] += time.perf_counter() - t0
+            yield b
     for key, group in buckets.items():
-        yield _make_batch(group, key)
+        t0 = time.perf_counter()
+        b = _make_batch(group, key[0])
+        if stats is not None:
+            stats["assemble_busy_s"] += time.perf_counter() - t0
+        yield b
 
 
 def _make_batch(group, t_pad):
     paths = [p for p, _ in group]
     sigs = [y for _, y in group]
     lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+    if all(s.dtype == np.int16 for s in sigs):
+        # int16 passthrough (native loader want_i16): already on the upload
+        # grid — one pad memcpy, no float conversion, no grid check
+        samples = np.zeros((len(sigs), t_pad), dtype=np.int16)
+        for i, s in enumerate(sigs):
+            samples[i, : len(s)] = s
+        return paths, {"samples": samples, "lengths": lengths}
     samples = np.zeros((len(sigs), t_pad), dtype=np.float32)
     for i, s in enumerate(sigs):
         samples[i, : len(s)] = s
@@ -278,11 +325,25 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     log_event("corpus.start", files=len(paths), todo=len(todo), resumed=len(paths) - len(todo))
 
     meter = ThroughputMeter()
-    decode = background_iter(_decode_stream(todo, sweep), maxsize=2 * sweep.batch_size)
+    # per-stage busy-time accounting (r3 verdict #3: the end-to-end number
+    # was opaque — a ~900× gap between chip rate and corpus rate with no
+    # evidence of where it went). Each stage accumulates the time it spends
+    # *producing* items as seen from its own thread; the stages overlap
+    # (background threads + async dispatch), so the fields explain the wall
+    # without summing to it. Reported in corpus.finish and the bench
+    # artifact ("corpus_stats").
+    stats = {
+        "decode_busy_s": 0.0, "assemble_busy_s": 0.0, "upload_busy_s": 0.0,
+        "upload_mb": 0.0, "fetch_wait_s": 0.0, "write_busy_s": 0.0,
+    }
+    decode = background_iter(
+        _timed_iter(_decode_stream(todo, sweep), stats, "decode_busy_s"),
+        maxsize=2 * sweep.batch_size,
+    )
     # batch assembly (pad copy + int16-grid check) is itself ~0.3 s/GB of
     # host passes — run it in a worker thread too so it overlaps the main
     # loop's device dispatch/fetch (numpy releases the GIL)
-    batches = background_iter(_bucketed_batches(decode, sweep), maxsize=2)
+    batches = background_iter(_bucketed_batches(decode, sweep, stats), maxsize=2)
 
     # (paths, host-side lengths) per batch: lengths are host-known before
     # upload, so the write-out loop never reads them back from the device
@@ -396,10 +457,15 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     # function of them (frame_validity_mask: nf = 1 + len//hop).
     pending: deque = deque()
 
+    import time as _time
+
     def flush_one(done_f):
         paths_b, lengths_np, tot_d, extras_d, samples_d, lengths_d = pending.popleft()
+        t0 = _time.perf_counter()
         tot, extras_host = jax.device_get((tot_d, extras_d))
+        stats["fetch_wait_s"] += _time.perf_counter() - t0
         extras = assemble_extras(extras_host, samples_d, lengths_d)
+        t0 = _time.perf_counter()
         for i, p in enumerate(paths_b):
             n_i = int(lengths_np[i])
             nf = min(1 + n_i // sweep.cfg.hop_length, tot.shape[-1])
@@ -415,9 +481,10 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
             done_f.write(p + "\n")
             meter.add(n_i / sweep.cfg.signal_sample_rate)
         done_f.flush()
+        stats["write_busy_s"] += _time.perf_counter() - t0
 
     with open(_done_path(sweep), "a") as done_f:
-        for arrays in prefetch_to_device(device_stream(), depth=2):
+        for arrays in prefetch_to_device(device_stream(), depth=2, stats=stats):
             paths_b, lengths_np = path_groups.pop(0)
             nf_min = 1 + int(lengths_np.min()) // sweep.cfg.hop_length
             fir_ok = mf is not None and nf_min >= mf
@@ -440,5 +507,10 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
         while pending:
             flush_one(done_f)
     report = meter.report()
+    report["stages"] = {k: round(v, 4) for k, v in stats.items()}
+    if stats["upload_busy_s"] > 0:
+        report["stages"]["link_mbps"] = round(
+            stats["upload_mb"] / stats["upload_busy_s"], 1
+        )
     log_event("corpus.finish", **report)
     return report

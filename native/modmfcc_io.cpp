@@ -30,6 +30,12 @@ namespace {
 
 struct Decoded {
   std::vector<float> samples;  // mono (first channel)
+  // filled INSTEAD of `samples` for 16-bit PCM sources when the caller
+  // asked for passthrough (see decode_wav want_i16): the int16 grid is the
+  // corpus upload format, so skipping the float conversion here removes
+  // two full passes over the audio on the (single-core) host — the
+  // float32 path and the downstream on-grid re-check both disappear.
+  std::vector<int16_t> samples_i16;
   int sample_rate = 0;
   std::string error;
 };
@@ -40,7 +46,7 @@ uint32_t rd_u32(const uint8_t* p) {
 }
 uint16_t rd_u16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
 
-Decoded decode_wav(const char* path) {
+Decoded decode_wav(const char* path, bool want_i16 = false) {
   Decoded out;
   FILE* f = fopen(path, "rb");
   if (!f) {
@@ -96,9 +102,19 @@ Decoded decode_wav(const char* path) {
   }
   size_t bytes_per = (size_t)bits / 8;
   size_t n_frames = data_len / (bytes_per * (size_t)n_ch);
-  out.samples.resize(n_frames);
   out.sample_rate = sr;
   // first channel only (analysis is mono; matches reference channelN=0)
+  if (want_i16 && fmt_code == 1 && bits == 16) {
+    out.samples_i16.resize(n_frames);
+    if (n_ch == 1) {
+      memcpy(out.samples_i16.data(), data, n_frames * 2);
+    } else {
+      for (size_t i = 0; i < n_frames; i++)
+        memcpy(&out.samples_i16[i], data + i * 2 * n_ch, 2);
+    }
+    return out;
+  }
+  out.samples.resize(n_frames);
   if (fmt_code == 1 && bits == 16) {
     for (size_t i = 0; i < n_frames; i++) {
       int16_t v;
@@ -175,12 +191,14 @@ struct Job {
 struct Result {
   int index = -1;
   std::vector<float> samples;
+  std::vector<int16_t> samples_i16;  // int16 passthrough (see Decoded)
   int sample_rate = 0;
   std::string error;
 };
 
 struct Loader {
   int target_sr;
+  bool want_i16 = false;
   // ratio-specific polyphase taps: key = up * 1000000 + down
   std::map<long, std::vector<double>> taps_table;
   std::mutex mu;
@@ -204,12 +222,22 @@ void worker_loop(Loader* L) {
     }
     Result r;
     r.index = job.index;
-    Decoded d = decode_wav(job.path.c_str());
+    Decoded d = decode_wav(job.path.c_str(), L->want_i16);
     if (!d.error.empty()) {
       r.error = d.error;
     } else {
       r.sample_rate = L->target_sr;
-      if (d.sample_rate == L->target_sr) {
+      if (!d.samples_i16.empty() && d.sample_rate != L->target_sr) {
+        // passthrough requested but this file needs resampling: convert
+        // to float here (the resampler is float-domain)
+        d.samples.resize(d.samples_i16.size());
+        for (size_t i = 0; i < d.samples_i16.size(); i++)
+          d.samples[i] = (float)d.samples_i16[i] / 32768.0f;
+        d.samples_i16.clear();
+      }
+      if (!d.samples_i16.empty()) {
+        r.samples_i16 = std::move(d.samples_i16);
+      } else if (d.sample_rate == L->target_sr) {
         r.samples = std::move(d.samples);
       } else {
         // reduce ratio
@@ -279,6 +307,16 @@ void* modmfcc_loader_create(int n_threads, int target_sr) {
   return (void*)L;
 }
 
+// As modmfcc_loader_create, plus int16 passthrough: 16-bit PCM files that
+// need no resampling come back as raw int16 (drain with
+// modmfcc_loader_next2) — the corpus upload format, skipping the
+// float32 conversion and the Python-side on-grid re-check entirely.
+void* modmfcc_loader_create2(int n_threads, int target_sr, int want_i16) {
+  Loader* L = (Loader*)modmfcc_loader_create(n_threads, target_sr);
+  L->want_i16 = (want_i16 != 0);
+  return (void*)L;
+}
+
 // Register polyphase taps for one (up, down) ratio (design done in Python).
 void modmfcc_loader_add_taps(void* handle, int up, int down,
                              const double* taps, int n_taps) {
@@ -297,12 +335,33 @@ void modmfcc_loader_submit(void* handle, int index, const char* path) {
   L->cv_jobs.notify_one();
 }
 
+int modmfcc_loader_next2(void* handle, void** data, long* n, int* is_i16);
+
 // Blocks for the next finished file. Returns its index, or -1 if nothing
 // pending. On success *data/*n carry the samples (caller must modmfcc_free);
 // when the file failed, *n == -1 and *data is NULL (error consumed the job).
 int modmfcc_loader_next(void* handle, float** data, long* n) {
+  int is_i16 = 0;
+  int idx = modmfcc_loader_next2(handle, (void**)data, n, &is_i16);
+  if (idx >= 0 && *n >= 0 && is_i16) {
+    // caller used the legacy float API on an i16-passthrough loader:
+    // convert (allocation swap keeps the free contract)
+    int16_t* src = (int16_t*)*data;
+    float* mem = (float*)malloc((size_t)(*n) * sizeof(float));
+    for (long i = 0; i < *n; i++) mem[i] = (float)src[i] / 32768.0f;
+    free(src);
+    *data = mem;
+  }
+  return idx;
+}
+
+// Blocks for the next finished file. Same contract as modmfcc_loader_next,
+// but *is_i16 reports the payload format: 1 = int16 passthrough (cast
+// *data to int16_t*), 0 = float32.
+int modmfcc_loader_next2(void* handle, void** data, long* n, int* is_i16) {
   Loader* L = (Loader*)handle;
   std::unique_lock<std::mutex> lk(L->mu);
+  *is_i16 = 0;
   if (L->pending.load() == 0 && L->results.empty()) return -1;
   L->cv_results.wait(lk, [&] { return !L->results.empty(); });
   Result r = std::move(L->results.front());
@@ -311,6 +370,14 @@ int modmfcc_loader_next(void* handle, float** data, long* n) {
   if (!r.error.empty()) {
     *data = nullptr;
     *n = -1;
+    return r.index;
+  }
+  if (!r.samples_i16.empty()) {
+    int16_t* mem = (int16_t*)malloc(r.samples_i16.size() * sizeof(int16_t));
+    memcpy(mem, r.samples_i16.data(), r.samples_i16.size() * sizeof(int16_t));
+    *data = mem;
+    *n = (long)r.samples_i16.size();
+    *is_i16 = 1;
     return r.index;
   }
   float* mem = (float*)malloc(r.samples.size() * sizeof(float));
