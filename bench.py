@@ -515,6 +515,70 @@ class _Watchdog:
                     os._exit(0)
 
 
+def _sync_docs(artifact_path: str | None = None) -> int:
+    """Regenerate README.md's BENCH block from the newest BENCH_r*.json
+    (or the given artifact path) so the number of record appears exactly
+    once (round-3 verdict #7: hand-copied README numbers drifted from the
+    artifact two rounds in a row)."""
+    import glob
+    import pathlib
+    import re
+
+    repo = pathlib.Path(__file__).resolve().parent
+    if artifact_path is None:
+        arts = sorted(glob.glob(str(repo / "BENCH_r*.json")))
+        if not arts:
+            print("no BENCH_r*.json artifact found", file=sys.stderr)
+            return 1
+        artifact_path = arts[-1]
+    art = json.loads(pathlib.Path(artifact_path).read_text())
+    if "parsed" in art:  # driver wrapper: {n, cmd, rc, tail, parsed}
+        art = art["parsed"]
+    name = pathlib.Path(artifact_path).name
+
+    def fmt(v, unit=""):
+        return "—" if v is None else f"{v}{unit}"
+
+    rows = [
+        ("bf16 corpus mode (headline)", fmt(art.get("value")),
+         f"{art['vs_baseline']}× north star" if art.get("vs_baseline") else "—"),
+        ("i16 (exact for int16-PCM audio)", fmt(art.get("i16_parity_mode")), ""),
+        ("x3 (≤1e-4 at the deliverable)", fmt(art.get("f32_x3_mode")), ""),
+        ("i24 (≤1e-4 MFCC, any f32 audio)", fmt(art.get("i24_parity_mode")), ""),
+        ("f32 HIGHEST parity mode", fmt(art.get("f32_parity_mode")), ""),
+        ("modspec_batch", fmt(art.get("modspec_batch")), ""),
+        ("masked_batch_64", fmt(art.get("masked_batch_64")), ""),
+        ("tracker_sweep (ac+formants+env+intensity)", fmt(art.get("tracker_sweep")), ""),
+        ("pyin_sweep @10 kHz / @16 kHz",
+         f"{fmt(art.get('pyin_sweep'))} / {fmt(art.get('pyin_sweep_16k'))}", ""),
+        ("corpus_sweep (end-to-end, host+link)", fmt(art.get("corpus_sweep")), ""),
+    ]
+    lines = [
+        f"<!-- BENCH:BEGIN — generated by `python bench.py --sync-docs`; do not edit by hand -->",
+        f"Single v5e chip, 16 kHz, full pipeline — from `{name}`"
+        " (audio-hours/sec unless noted):",
+        "",
+        "| bench field | audio-h/s | note |",
+        "|---|---|---|",
+        *(f"| {k} | **{v}** | {n} |" for k, v, n in rows),
+        f"| longform_1h_s (1 h @48 kHz, wall) | **{fmt(art.get('longform_1h_s'))}** | seconds |",
+        "<!-- BENCH:END -->",
+    ]
+    block = "\n".join(lines)
+    readme = repo / "README.md"
+    text = readme.read_text()
+    new, n = re.subn(
+        r"<!-- BENCH:BEGIN[^>]*-->.*?<!-- BENCH:END -->", block, text,
+        count=1, flags=re.S,
+    )
+    if n != 1:
+        print("README.md BENCH markers not found", file=sys.stderr)
+        return 1
+    readme.write_text(new)
+    print(f"README.md BENCH block regenerated from {name}")
+    return 0
+
+
 def main() -> None:
     import os
 
@@ -632,4 +696,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--sync-docs" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--sync-docs"]
+        sys.exit(_sync_docs(args[0] if args else None))
     sys.exit(main())
