@@ -715,3 +715,38 @@ def praat_formants_np(
             freqs[f, j] = fs[ix]
             bws[f, j] = bs[ix]
     return times, freqs, bws
+
+
+def praat_spectrogram_np(
+    x: np.ndarray,
+    sr: float,
+    window_length: float = 0.005,
+    max_frequency: float = 5000.0,
+    time_step: float = 0.002,
+):
+    """Float64 re-derivation of the display spectrogram
+    (models/sound.praat_spectrogram; reference
+    script/praat_py_ui/parselmouth_calc.py:31-39 = to_spectrogram +
+    10*log10): Gaussian window (std = nw/6) over mean-subtracted frames,
+    power rFFT, bins kept up to the view ceiling, 10*log10 with the 1e-12
+    display floor. Returns (times, freqs, dB [n_times, n_freqs])."""
+    x = np.asarray(x, np.float64)
+    if x.ndim > 1:
+        x = x[0]
+    nw = max(8, int(round(2 * window_length * sr)))
+    hop = max(1, int(round(time_step * sr)))
+    n_fft = 1
+    while n_fft < nw:
+        n_fft *= 2
+    n = np.arange(nw) - (nw - 1) / 2.0
+    w = np.exp(-0.5 * (n / (nw / 6.0)) ** 2)
+    nf = 1 + (len(x) - nw) // hop
+    frames = np.stack([x[f * hop : f * hop + nw] for f in range(nf)])
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    spec = np.fft.rfft(frames * w, n=n_fft, axis=-1)
+    p = spec.real**2 + spec.imag**2
+    freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    keep = freqs <= max_frequency
+    db = 10.0 * np.log10(np.maximum(p[:, keep], 1e-12))
+    times = (np.arange(nf) * hop + nw / 2) / sr
+    return times, freqs[keep], db

@@ -257,3 +257,33 @@ def test_animate_position_callback_sequence():
     pos = [p for p in seen if p is not None]
     assert pos[0] == 1.0 and pos[-1] == 1.1
     assert all(b >= a for a, b in zip(pos, pos[1:]))
+
+
+def test_spectrogram_vs_float64_oracle():
+    """Display-spectrogram parity gate (r3 verdict missing #3): the device
+    praat_spectrogram vs oracle.praat_spectrogram_np (float64 framing,
+    Gaussian std=nw/6 window, power rFFT, 10*log10 @ 1e-12 floor). Bars on
+    the display-relevant range (within 80 dB of the per-matrix max — the
+    viewer's dynamic range); below it both must agree that the bin is
+    floor-dark. Speech-like content: tone + burst + silence."""
+    from modulation_mfcc_tpu.models.sound import praat_spectrogram
+    from modulation_mfcc_tpu.oracle import praat_spectrogram_np
+
+    sr = 16_000
+    rng = np.random.default_rng(3)
+    t = np.arange(sr) / sr
+    y = 0.5 * np.sin(2 * np.pi * 800 * t) * (t < 0.4)
+    y[int(0.55 * sr):int(0.58 * sr)] += 0.4 * rng.standard_normal(int(0.03 * sr))
+    y += 1e-4 * rng.standard_normal(sr)
+    y = y.astype(np.float32)
+
+    got = praat_spectrogram(y, sr)
+    times, freqs, want = praat_spectrogram_np(y, sr)
+    np.testing.assert_allclose(got.timestamps, times, atol=1e-12)
+    np.testing.assert_allclose(got.frequencies, freqs, atol=1e-9)
+    g = got.data_matrix.T  # [n_times, n_freqs] like the oracle
+    assert g.shape == want.shape
+    lively = want > want.max() - 80.0
+    assert np.abs(g[lively] - want[lively]).max() <= 0.01  # dB
+    # floor-dark bins stay dark on both sides (no resurrected energy)
+    assert (g[~lively] < want.max() - 75.0).all()
