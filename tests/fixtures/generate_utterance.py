@@ -1,0 +1,177 @@
+"""Generate the checked-in speech parity fixture (utterance_16k.wav).
+
+Round-3 verdict asked for parity evidence on *real recorded speech* (the
+reference's whole purpose — /root/reference/script/mfcc.py:373 loads user
+WAVs, calc.py:545 runs Praat on real recordings). This build environment has
+zero network egress and no speech audio anywhere on disk (searched: system
+packages, HF/dataset caches, TTS binaries), so a recording is unobtainable;
+this is the closest honest substitute: a deterministic Klatt-style
+source-filter synthesis of a nonsense utterance [a-t-i-s-o-p-u(breathy)]
+that exercises exactly the signal features the verdict called out as absent
+from the AM-tone fixtures:
+
+  * stop closures and release bursts (/t/ alveolar, /p/ labial)
+  * a sibilant fricative band (/s/, 3.5-7.5 kHz shaped noise)
+  * true silences and a -55 dB noise floor (top_db clip behavior)
+  * voiced/unvoiced transitions incl. a breathy decaying offset
+  * a wandering f0 contour with per-period jitter and shimmer
+  * time-varying formant resonances with consonant-locus transitions
+
+Regenerate with:  python tests/fixtures/generate_utterance.py
+(deterministic: seeded RNG, pure float64 numpy; output is int16 PCM).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+SR = 16_000
+SEED = 20260819
+
+
+def _ramp(n: int, up: int, down: int) -> np.ndarray:
+    """Raised-cosine on/off envelope of length n."""
+    e = np.ones(n)
+    up, down = min(up, n), min(down, n)
+    if up:
+        e[:up] = 0.5 - 0.5 * np.cos(np.pi * np.arange(up) / up)
+    if down:
+        e[n - down:] = 0.5 + 0.5 * np.cos(np.pi * np.arange(down) / down)
+    return e
+
+
+def _resonator_tv(x: np.ndarray, freq: np.ndarray, bw: np.ndarray, sr: float) -> np.ndarray:
+    """Time-varying 2nd-order all-pole resonator (Klatt cascade element),
+    y[n] = A·x[n] + B·y[n-1] + C·y[n-2] with per-sample coefficients."""
+    r = np.exp(-np.pi * bw / sr)
+    c = -(r * r)
+    b = 2.0 * r * np.cos(2.0 * np.pi * freq / sr)
+    a = 1.0 - b - c  # unity gain at DC
+    y = np.zeros_like(x)
+    y1 = y2 = 0.0
+    for n in range(len(x)):
+        y1, y2 = a[n] * x[n] + b[n] * y1 + c[n] * y2, y1
+        y[n] = y1
+    return y
+
+
+def _glottal_train(f0: np.ndarray, jitter: float, shimmer: float,
+                   rng: np.random.Generator, sr: float) -> np.ndarray:
+    """Rosenberg-pulse glottal flow derivative from an instantaneous-f0
+    contour, with per-period frequency jitter and amplitude shimmer."""
+    n = len(f0)
+    out = np.zeros(n)
+    pos = 0.0
+    while pos < n - 1:
+        i = int(pos)
+        period = sr / max(f0[i], 1.0) * (1.0 + jitter * rng.standard_normal())
+        period = max(period, 8.0)
+        amp = 1.0 + shimmer * rng.standard_normal()
+        # Rosenberg B flow: rise 40% of the period, sharp fall 16%
+        t_open, t_close = 0.40 * period, 0.16 * period
+        m = int(min(t_open + t_close, n - 1 - pos))
+        tt = np.arange(m)
+        flow = np.where(
+            tt < t_open,
+            0.5 * (1.0 - np.cos(np.pi * tt / t_open)),
+            np.cos(0.5 * np.pi * (tt - t_open) / t_close),
+        )
+        out[int(pos):int(pos) + m] += amp * np.diff(flow, prepend=0.0)
+        pos += period
+    return out
+
+
+def synthesize(sr: int = SR) -> np.ndarray:
+    rng = np.random.default_rng(SEED)
+    dur = 2.2
+    n = int(dur * sr)
+    t = np.arange(n) / sr
+
+    # --- segment plan: (t0, t1, kind, params) ------------------------------
+    # formant targets [F1, F2, F3, F4] and bandwidths per vowel
+    A = ([800, 1200, 2500, 3500], [80, 90, 120, 170])
+    I = ([300, 2300, 3000, 3700], [60, 100, 140, 180])
+    O = ([500, 900, 2400, 3400], [70, 80, 120, 170])
+    U = ([350, 800, 2300, 3300], [70, 90, 130, 180])
+    I_ON = ([300, 1800, 2600, 3200], I[1])  # alveolar-locus onset after /t/
+    O_ON = ([500, 1400, 2600, 3400], O[1])  # post-/s/ onset pulled high
+    U_ON = ([350, 700, 2100, 3100], U[1])   # labial-locus onset after /p/
+    voiced = [  # (t0, t1, onset formants, target formants, f0 a→b, breathy)
+        (0.15, 0.47, A, A, 132.0, 121.0, 0.0),
+        (0.60, 0.95, I_ON, I, 124.0, 142.0, 0.0),
+        (1.17, 1.52, O_ON, O, 140.0, 112.0, 0.0),
+        (1.66, 2.02, U_ON, U, 108.0, 88.0, 1.0),
+    ]
+
+    # --- voicing source -----------------------------------------------------
+    # slow intonation wander on top of the per-segment contour
+    wander = 2.0 * np.sin(2 * np.pi * 1.7 * t) + 1.2 * np.sin(2 * np.pi * 4.3 * t + 1.0)
+    sig = np.zeros(n)
+    for (t0, t1, fm_on, fm_tgt, f0a, f0b, breathy) in voiced:
+        i0, i1 = int(t0 * sr), int(t1 * sr)
+        m = i1 - i0
+        seg_t = np.linspace(0.0, 1.0, m)
+        f0 = f0a + (f0b - f0a) * seg_t + wander[i0:i1]
+        src = _glottal_train(f0, jitter=0.008, shimmer=0.05, rng=rng, sr=sr)
+        # aspiration noise mixed into the source; ramps up for breathy offset
+        asp = 0.05 + (0.55 * seg_t**2 if breathy else 0.0)
+        src = src * (1.0 - 0.5 * asp) + asp * 0.3 * rng.standard_normal(m)
+        # formant transitions: 40 ms onset glide from the consonant locus
+        y = src
+        glide = np.minimum(seg_t / (0.040 / max(t1 - t0, 1e-9)), 1.0)
+        for k in range(4):
+            f_on = fm_on[0][k]
+            freq = f_on + (fm_tgt[0][k] - f_on) * glide
+            bw = np.full(m, float(fm_tgt[1][k]))
+            y = _resonator_tv(y, freq, bw, sr)
+        amp = _ramp(m, int(0.030 * sr), int(0.050 * sr))
+        if breathy:
+            amp = amp * (1.0 - 0.6 * seg_t**2)  # decaying offset
+        sig[i0:i1] += 0.9 * amp * y / max(np.max(np.abs(y)), 1e-12)
+
+    # --- /t/ burst + aspiration at 0.53-0.60 --------------------------------
+    def band_noise(m: int, lo: float, hi: float) -> np.ndarray:
+        import scipy.signal as sps
+        sos = sps.butter(4, [lo / (sr / 2), hi / (sr / 2)], "bandpass", output="sos")
+        return sps.sosfilt(sos, rng.standard_normal(m))
+
+    i0 = int(0.530 * sr)
+    m = int(0.012 * sr)  # 12 ms alveolar burst, high-frequency emphasis
+    burst = band_noise(m, 2500.0, 7600.0) * _ramp(m, 4, m // 2)
+    sig[i0:i0 + m] += 0.55 * burst / max(np.max(np.abs(burst)), 1e-12)
+    i0 = int(0.545 * sr)
+    m = int(0.050 * sr)  # aspiration through the following vowel's cavity
+    aspn = band_noise(m, 500.0, 5000.0) * _ramp(m, m // 4, m // 2)
+    sig[i0:i0 + m] += 0.12 * aspn / max(np.max(np.abs(aspn)), 1e-12)
+
+    # --- /s/ fricative at 0.95-1.17 -----------------------------------------
+    i0, i1 = int(0.96 * sr), int(1.16 * sr)
+    m = i1 - i0
+    fric = band_noise(m, 3500.0, 7600.0) * _ramp(m, int(0.025 * sr), int(0.030 * sr))
+    sig[i0:i1] += 0.35 * fric / max(np.max(np.abs(fric)), 1e-12)
+
+    # --- /p/ burst at 1.63 (labial: low-frequency emphasis, weaker) ---------
+    i0 = int(1.630 * sr)
+    m = int(0.010 * sr)
+    burst = band_noise(m, 300.0, 2000.0) * _ramp(m, 3, m // 2)
+    sig[i0:i0 + m] += 0.40 * burst / max(np.max(np.abs(burst)), 1e-12)
+
+    # --- room noise floor ≈ -55 dB vs speech peak ---------------------------
+    sig += 1.5e-3 * rng.standard_normal(n)
+
+    sig = 0.55 * sig / np.max(np.abs(sig))
+    return sig
+
+
+def main() -> str:
+    import scipy.io.wavfile as wavfile
+
+    out = os.path.join(os.path.dirname(__file__), "utterance_16k.wav")
+    sig = synthesize()
+    wavfile.write(out, SR, np.round(sig * 32767.0).astype(np.int16))
+    return out
+
+
+if __name__ == "__main__":
+    print(main())
