@@ -327,10 +327,24 @@ def _corpus_2shard_throughput(n_files: int = 128, seconds: float = 30.0) -> floa
     root = tempfile.mkdtemp(prefix="modmfcc_bench_corpus2_")
     try:
         _gen_corpus(root, n_files, seconds, sr)
+        # the shards must run the SAME 16 kHz config/program as the
+        # corpus_sweep field (the CLI default is the reference's 10 kHz,
+        # which would resample and compile a fresh program per process)
+        from modulation_mfcc_tpu.models.config import (
+            MfccConfig, PipelineConfig, save_config,
+        )
+
+        cfg_path = f"{root}/cfg.json"
+        save_config(
+            PipelineConfig(
+                mfcc=MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+            ),
+            cfg_path,
+        )
         cmd = [
             sys.executable, "-m", "modulation_mfcc_tpu.cli", "sweep", root,
             "--batch-size", "32", "--spectrum", "pallas_bf16", "--no-resume",
-            "--num-shards", "2",
+            "--num-shards", "2", "--config", cfg_path,
         ]
         t0 = time.perf_counter()
         procs = [
