@@ -25,14 +25,20 @@ _SO = os.path.join(_NATIVE_DIR, "libmodmfcc_io.so")
 
 @lru_cache(maxsize=1)
 def _lib():
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True,
-                capture_output=True, timeout=120,
-            )
-        except Exception:
+    # Run make unconditionally (mtime check makes it a cheap no-op when
+    # fresh): an .so built before an ABI addition (e.g. the v2 int16
+    # entry points) would otherwise never rebuild, silently disabling the
+    # newer fast paths on any host that built the lib once.
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR], check=True,
+            capture_output=True, timeout=120,
+        )
+    except Exception:
+        if not os.path.exists(_SO):
             return None
+        # a previously-built lib is still usable when make itself fails
+        # (e.g. read-only checkout without a toolchain)
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -126,6 +132,13 @@ class NativeBatchLoader:
             raise RuntimeError("native library unavailable")
         self._lib = lib
         self._i16 = bool(want_i16) and hasattr(lib, "modmfcc_loader_create2")
+        if want_i16 and not self._i16:
+            # observable, not silent: the int16 passthrough is the corpus
+            # pipeline's biggest host-cost win — losing it to a stale ABI
+            # must show up in the sweep's event log
+            from ..utils.obs import log_event
+
+            log_event("native.i16_fallback", reason="pre-v2 ABI .so")
         if self._i16:
             lib.modmfcc_loader_create2.restype = ctypes.c_void_p
             lib.modmfcc_loader_create2.argtypes = [

@@ -741,6 +741,11 @@ def praat_spectrogram_np(
     n = np.arange(nw) - (nw - 1) / 2.0
     w = np.exp(-0.5 * (n / (nw / 6.0)) ** 2)
     nf = 1 + (len(x) - nw) // hop
+    if nf < 1:
+        raise ValueError(
+            f"input too short for the analysis window: {len(x)} samples "
+            f"< window {nw} ({2 * window_length:g} s at {sr:g} Hz)"
+        )
     frames = np.stack([x[f * hop : f * hop + nw] for f in range(nf)])
     frames = frames - frames.mean(axis=-1, keepdims=True)
     spec = np.fft.rfft(frames * w, n=n_fft, axis=-1)

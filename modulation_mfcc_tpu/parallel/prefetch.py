@@ -85,7 +85,11 @@ def prefetch_to_device(
                     for leaf in jax.tree_util.tree_leaves(tree):
                         leaf.block_until_ready()
                 except Exception:
-                    return  # a failed transfer surfaces in the main loop
+                    # a failed transfer surfaces in the main loop; keep
+                    # draining so later batches' accounting (and their
+                    # device-array references held by the queue) don't pile
+                    # up behind a dead thread
+                    continue
                 t_ready = time.perf_counter()
                 stats["upload_busy_s"] += max(0.0, t_ready - max(t_issue, last_ready))
                 last_ready = t_ready

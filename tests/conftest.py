@@ -70,8 +70,19 @@ def pytest_sessionfinish(session, exitstatus):
     # reported "full suite (2 tests) green" — the exact rot the stamp exists
     # to catch (r4 session-1 artifact did exactly that).
     tests_dir = pathlib.Path(__file__).resolve().parent
+    opt = session.config.option
     full_run = not (
-        session.config.option.keyword or session.config.option.markexpr
+        opt.keyword
+        or opt.markexpr
+        # --collect-only exits 0 having RUN nothing; --ignore/--deselect
+        # silently drop whole files/tests while args still say "tests/"
+        or getattr(opt, "collectonly", False)
+        or getattr(opt, "ignore", None)
+        or getattr(opt, "ignore_glob", None)
+        or getattr(opt, "deselect", None)
+        # belt-and-braces: a "full" run of this suite executes hundreds of
+        # tests; a run that collected almost nothing is not the suite
+        or int(getattr(session, "testscollected", 0)) < 50
     )
     for a in session.config.args:
         try:

@@ -48,4 +48,5 @@ def test_verify_all_surfaces_on_speech(capsys):
     # the fixture must actually exercise voicing transitions: both voiced
     # and unvoiced frames present (a fixture that is all-voiced or
     # all-unvoiced would silently weaken every pitch surface)
-    assert per_surface["pitch_ac"]["p99_voiced_hz"] > 0.0
+    assert per_surface["pitch_ac"]["n_voiced"] > 0
+    assert per_surface["pitch_ac"]["n_unvoiced"] > 0
