@@ -47,12 +47,17 @@ def mfcc_trajectories(
     use_fft: bool = True,
     spectrum: str | None = None,
     coef_major: bool = False,
+    n_samples: int | None = None,
 ) -> jnp.ndarray:
     """MFCC matrix [..., n_frames, n_mfcc] with librosa semantics
     (reference: script/mfcc.py:387). ``coef_major=True`` returns
     [..., n_mfcc, n_frames] instead — on the pallas paths the transpose
     happens inside the tail kernel where it is free (and shrinks the tail
     write 8x); elsewhere it is a plain swapaxes. Same numbers either way.
+
+    3-D ``y`` = pre-laid-out hop rows [B, rows, hop] (``n_samples``
+    required; pallas spectra only) — the zero-prep corpus contract, see
+    pallas/fused_frontend.pack_hop_rows.
 
     ``spectrum`` selects the front-end implementation:
       * 'fft'         — framing gather + jnp.fft.rfft (oracle path)
@@ -104,6 +109,12 @@ def mfcc_trajectories(
             algorithm=algo,
             frame_mask=frame_mask,
             transposed=coef_major,
+            n_samples=n_samples,
+        )
+    if y.ndim == 3:
+        raise ValueError(
+            "hop-rows input requires a pallas spectrum (the rows contract "
+            "is a fused-kernel fast path; fft/matmul take flat [B, T])"
         )
     frames = frame_signal(y, cfg.n_fft, cfg.hop_length)
     mask = None
@@ -133,8 +144,13 @@ def mfcc_change(
     use_fft: bool = True,
     spectrum: str | None = None,
     masked_fir: bool = False,
+    n_samples: int | None = None,
 ) -> jnp.ndarray:
     """Total MFCC change over time, [..., n_frames].
+
+    3-D ``y`` = pre-laid-out hop rows (``n_samples`` required, pallas
+    spectra only): the zero-prep corpus contract — see
+    pallas/fused_frontend.pack_hop_rows.
 
     ``masked_fir=True`` (static) switches the masked filter stages to the
     FIR-operator form (ops/masked.masked_sosfiltfilt_fir) — much faster to
@@ -151,17 +167,19 @@ def mfcc_change(
     single-file result exactly on valid frames.
     """
     if frame_lengths is not None and frame_mask is None:
-        nf_pad = n_frames_centered(y.shape[-1], cfg.n_fft, cfg.hop_length)
+        t_for_mask = int(n_samples) if y.ndim == 3 else y.shape[-1]
+        nf_pad = n_frames_centered(t_for_mask, cfg.n_fft, cfg.hop_length)
+        mask_dtype = jnp.float32 if y.ndim == 3 else y.dtype
         frame_mask = (
             jnp.arange(nf_pad)[None, :] < frame_lengths[:, None]
-        ).astype(y.dtype)
+        ).astype(mask_dtype)
     # coef-major trajectories so the filter stages run along the last
     # (time) axis — the pallas tail kernel emits this layout directly
     # (free in-kernel transpose; an XLA-side swapaxes here measured
     # 0.85 ms/batch on the flagship, r4 profile)
     m = mfcc_trajectories(
         y, cfg, frame_mask=frame_mask, use_fft=use_fft, spectrum=spectrum,
-        coef_major=True,
+        coef_major=True, n_samples=n_samples,
     )
     if cfg.removeFirst:
         m = m[..., 1:, :]

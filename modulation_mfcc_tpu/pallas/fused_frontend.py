@@ -81,9 +81,60 @@ from jax.experimental.pallas import tpu as pltpu
 from modulation_mfcc_tpu.ops.spectral import dct_matrix, dft_bases, mel_filterbank
 from modulation_mfcc_tpu.utils.helpers import round_up_to_multiple
 
-__all__ = ["fused_mel_frontend", "fused_mfcc", "mfcc_tail"]
+__all__ = [
+    "fused_mel_frontend", "fused_mfcc", "mfcc_tail",
+    "hop_rows_geometry", "pack_hop_rows",
+]
 
 _TAIL_ROWS = 16  # >= ceil(n_fft/hop) for all supported configs; 8-multiple
+
+
+def hop_rows_geometry(
+    n_samples: int, *, n_fft: int = 512, hop: int = 80,
+    win_length: int | None = None, blkf: int | None = None,
+) -> tuple[int, int]:
+    """(rows_total, eff_pad) of the rows-input contract for ``n_samples``.
+
+    Mirrors fused_mel_frontend's geometry exactly: rows_total =
+    ceil(nf/blkf)·blkf + 16 hop-rows (16 spare rows for the tail view),
+    with the audio placed at sample offset ``eff_pad`` (librosa centered
+    framing, shifted by the trimmed window support). ``blkf=None`` reads
+    the live frontend knob so packer and kernel can never disagree."""
+    if blkf is None:
+        from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+
+        blkf = frontend_knobs()[0]
+    win_length = win_length or n_fft
+    pw = (n_fft - win_length) // 2
+    eff_pad = n_fft // 2 - pw
+    nf = 1 + n_samples // hop
+    nj = -(-nf // blkf)
+    return nj * blkf + _TAIL_ROWS, eff_pad
+
+
+def pack_hop_rows(
+    audio, *, n_fft: int = 512, hop: int = 80,
+    win_length: int | None = None, blkf: int | None = None,
+):
+    """[B, T] (or [T]) samples → [B, rows_total, hop] padded hop rows, the
+    fused frontend's rows-input format (dtype-preserving: int16 rows stay
+    int16 and dequantize in-kernel). numpy in → numpy out (the corpus
+    assembler's case: the pad memcpy is work it already does per batch);
+    jax in → device pad+reshape (the flat path's own prep, useful to build
+    an at-rest rows array once outside a timing/serving loop)."""
+    single = audio.ndim == 1
+    if single:
+        audio = audio[None, :]
+    b, t = audio.shape
+    rows_total, eff_pad = hop_rows_geometry(
+        t, n_fft=n_fft, hop=hop, win_length=win_length, blkf=blkf
+    )
+    if isinstance(audio, np.ndarray):
+        out = np.zeros((b, rows_total * hop), dtype=audio.dtype)
+        out[:, eff_pad : eff_pad + t] = audio
+        return out.reshape(b, rows_total, hop)
+    out = jnp.pad(audio, ((0, 0), (eff_pad, rows_total * hop - t - eff_pad)))
+    return out.reshape(b, rows_total, hop)
 
 
 def _mxu(x, w_ref, algorithm: str):
@@ -106,7 +157,8 @@ def _mxu(x, w_ref, algorithm: str):
     )
 
 
-def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple):
+def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple,
+              scale: float = 1.0):
     """Stage the pipelined main+tail blocks into one contiguous scratch and
     build frames [blkf, K] from shifted sublane slices over the trimmed
     window support (frames[i, k·hop:(k+1)·hop] = rows[i+k, :hop]). One
@@ -114,12 +166,12 @@ def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple):
     mismatched sublane offsets across two buffers, and the scratch stays
     f32 (bf16 shifted-sublane concat views do not lower on real Mosaic —
     see the row_dtype comment in fused_mel_frontend)."""
-    _stage_rows(main_ref, tail_ref, rows_vmem, blkf)
+    _stage_rows(main_ref, tail_ref, rows_vmem, blkf, scale)
     parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
     return jnp.concatenate(parts, axis=-1)
 
 
-def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int):
+def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int, scale: float = 1.0):
     """Copy the block's main+tail hop-rows into the staging scratch.
 
     The input rows may be narrower than the scratch (hop < 128: the lane
@@ -127,18 +179,29 @@ def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int):
     the scratch's pad lanes are zeroed ONCE at the first grid step (they
     persist across steps) so the frame_mode='matmul' variant's full-width
     reads meet zeros, never uninitialized VMEM (0·garbage could be NaN
-    against the zero weight rows)."""
+    against the zero weight rows).
+
+    ``scale`` ≠ 1 applies the transport dequantization during staging —
+    int16 hop-row inputs (the rows-input contract) carry raw PCM values
+    and stage as v·2⁻¹⁵, an EXACT f32 product (power-of-two scale, int16
+    values exact in f32), so every downstream number matches the flat-path
+    f32 values bit for bit."""
+    mv = main_ref[0].astype(rows_vmem.dtype)
+    tv = tail_ref[0].astype(rows_vmem.dtype)
+    if scale != 1.0:
+        mv = mv * scale
+        tv = tv * scale
     hw = main_ref.shape[-1]
     if hw < rows_vmem.shape[-1]:
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init_pad_lanes():
             rows_vmem[:, hw:] = jnp.zeros_like(rows_vmem[:, hw:])
 
-        rows_vmem[:blkf, :hw] = main_ref[0].astype(rows_vmem.dtype)
-        rows_vmem[blkf:, :hw] = tail_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[:blkf, :hw] = mv
+        rows_vmem[blkf:, :hw] = tv
     else:
-        rows_vmem[:blkf] = main_ref[0].astype(rows_vmem.dtype)
-        rows_vmem[blkf:] = tail_ref[0].astype(rows_vmem.dtype)
+        rows_vmem[:blkf] = mv
+        rows_vmem[blkf:] = tv
 
 
 def _emit(reim, mel_ref, out_ref, bmax_ref, *, mel_alg: str, out_dtype,
@@ -250,13 +313,13 @@ def _i24_reim(frames, s, inv, wa_ref, wb_ref, wc_ref):
 
 def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
                 out_ref, bmax_ref, rows_vmem, *, blkf: int, bins_pad: int,
-                widths: tuple, nf: int, out_dtype):
+                widths: tuple, nf: int, out_dtype, row_scale: float = 1.0):
     """Fixed-point frontend step (algorithm='i24', see module docstring and
     :func:`_i24_reim`). ``sc_ref[b] = (s_b, 1/(s_b·Sw))`` carries the
     per-utterance quantization scale in and the true scale back out. The
     mel projection runs as x3 (non-negative operands keep the 2⁻¹⁷ split
     error relative)."""
-    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths, row_scale)
     b = pl.program_id(0)
     reim = _i24_reim(frames, sc_ref[b, 0], sc_ref[b, 1], wa_ref, wb_ref, wc_ref)
     _emit(reim, mel_ref, out_ref, bmax_ref, mel_alg="x3", out_dtype=out_dtype,
@@ -266,7 +329,7 @@ def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
 def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
                      mel_ref, out_ref, bmax_ref, rows_vmem, reim_vmem, *,
                      blkf: int, nj: int, bins_pad: int, widths: tuple,
-                     nf: int, out_dtype):
+                     nf: int, out_dtype, row_scale: float = 1.0):
     """Two-stage pipelined i24 frontend (same schedule as :func:`_kernel_pipe`):
     stage A quantizes/digit-splits block j and runs the three int8 dots +
     f32 recombination into the parity-(j%2) reim scratch half; stage B does
@@ -284,7 +347,8 @@ def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
 
     @pl.when(j < nj)
     def _stage_a():
-        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
+                           row_scale)
         b = pl.program_id(0)
         reim_vmem[j % 2] = _i24_reim(
             frames, sc_ref[b, 0], sc_ref[b, 1], wa_ref, wb_ref, wc_ref
@@ -344,13 +408,14 @@ def _i16_reim(frames, s, inv, corr_ref, wa_ref, wb_ref, wc_ref):
 
 def _kernel_i16(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref, wc_ref,
                 mel_ref, out_ref, bmax_ref, rows_vmem, *, blkf: int,
-                bins_pad: int, widths: tuple, nf: int, out_dtype):
+                bins_pad: int, widths: tuple, nf: int, out_dtype,
+                row_scale: float = 1.0):
     """16-bit fixed-point frontend step (algorithm='i16', see
     :func:`_i16_reim`). Exact for int16-origin audio (the corpus sweep's
     upload format) at any level; arbitrary f32 audio is 16-bit-quantized
     relative to the utterance max first (i24 is the full-precision
     fixed-point mode)."""
-    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths, row_scale)
     b = pl.program_id(0)
     reim = _i16_reim(frames, sc_ref[b, 0], sc_ref[b, 1], corr_ref,
                      wa_ref, wb_ref, wc_ref)
@@ -361,7 +426,8 @@ def _kernel_i16(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref, wc_ref,
 def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
                      wc_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
                      reim_vmem, *, blkf: int, nj: int, bins_pad: int,
-                     widths: tuple, nf: int, out_dtype):
+                     widths: tuple, nf: int, out_dtype,
+                     row_scale: float = 1.0):
     """Two-stage pipelined :func:`_kernel_i16` (schedule of _kernel_pipe)."""
     j = pl.program_id(1)
 
@@ -373,7 +439,8 @@ def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
 
     @pl.when(j < nj)
     def _stage_a():
-        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
+                           row_scale)
         b = pl.program_id(0)
         reim_vmem[j % 2] = _i16_reim(
             frames, sc_ref[b, 0], sc_ref[b, 1], corr_ref, wa_ref, wb_ref,
@@ -383,16 +450,18 @@ def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
 
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
-            nf: int, algorithm: str, out_dtype, frame_mode: str = "concat"):
+            nf: int, algorithm: str, out_dtype, frame_mode: str = "concat",
+            row_scale: float = 1.0):
     if frame_mode == "concat":
-        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
+                           row_scale)
         reim = _mxu(frames, wri_ref, algorithm)
     else:
         # frames @ W == Σ_k rows[k:k+blkf] @ W_k (W_k = rows of W for hop-
         # chunk k, zero-padded to the lane width): no frame materialization
         # (_stage_rows zeroes the scratch's pad lanes once, so the
         # full-width lhs reads below meet zeros against the zero W rows)
-        _stage_rows(main_ref, tail_ref, rows_vmem, blkf)
+        _stage_rows(main_ref, tail_ref, rows_vmem, blkf, row_scale)
         reim = jnp.zeros((blkf, 2 * bins_pad), dtype=jnp.float32)
         for k in range(len(widths)):
             lhs = rows_vmem[k : k + blkf, :]
@@ -406,7 +475,8 @@ def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
 
 def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
                  rows_vmem, reim_vmem, *, blkf: int, nj: int, bins_pad: int,
-                 widths: tuple, nf: int, algorithm: str, out_dtype):
+                 widths: tuple, nf: int, algorithm: str, out_dtype,
+                 row_scale: float = 1.0):
     """Two-stage software-pipelined frontend step (grid j ∈ [0, nj]):
 
       stage A (j < nj):  assemble frames for block j → windowed-DFT matmul
@@ -432,7 +502,8 @@ def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
 
     @pl.when(j < nj)
     def _stage_a():
-        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths)
+        frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
+                           row_scale)
         reim_vmem[j % 2] = _mxu(frames, wri_ref, algorithm)
 
 
@@ -453,6 +524,7 @@ def fused_mel_frontend(
     algorithm: str | None = None,
     fold: bool | None = None,
     pipeline: bool = False,
+    n_samples: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mel [B, NF_pad, n_mels], block_maxes [B, nj, 8, 128]) for audio [B, T].
 
@@ -460,6 +532,22 @@ def fused_mel_frontend(
     slice [:, :nf]. Centered framing (librosa center=True, zero pad).
     ``algorithm`` ∈ {'f32', 'x3', 'bf16'} (see module docstring); defaults
     from ``compute_dtype`` for backward compatibility.
+
+    **Rows input (the zero-prep contract, r4):** a 3-D ``audio`` is taken
+    as PRE-LAID-OUT hop rows [B, rows_total, hop] built by
+    :func:`pack_hop_rows` (centered-framing pad already applied;
+    ``n_samples`` = the true per-utterance sample count is then required).
+    The kernel consumes the rows directly — none of the flat path's
+    pad/cast/hop-row-relayout XLA passes run (~2.3 ms/batch of pure data
+    movement on the 128×30 s flagship, docs/DESIGN.md §8). Transport dtype
+    is the array's own: int16 rows carry raw PCM values and are
+    dequantized (·2⁻¹⁵, exact) during the VMEM staging copy, so f32-grade
+    modes are BIT-IDENTICAL to the flat path on the same values; bf16-mode
+    rows skip the flat path's bf16 pre-rounding of the samples (same or
+    better accuracy, not bit-identical). This is the corpus-sweep format:
+    the host assembles padded int16 rows for free while batching (the pad
+    memcpy it already does), and the at-rest device array is what every
+    batch reads.
 
     ``fold`` enables the folded real-DFT: the t↔N−t symmetry of the real
     input turns the windowed DFT into a cosine matmul on y[t]+y[N−t] and a
@@ -485,6 +573,16 @@ def fused_mel_frontend(
         fold = False
     if audio.ndim == 1:
         audio = audio[None, :]
+    rows_in = audio.ndim == 3
+    if rows_in:
+        if n_samples is None:
+            raise ValueError("rows input [B, rows, hop] requires n_samples")
+        if audio.shape[-1] != hop:
+            raise ValueError(
+                f"rows input minor dim {audio.shape[-1]} != hop {hop}"
+            )
+        if fold:
+            raise ValueError("fold=True unsupported with rows input")
     if hop > 128 and hop % 128:
         raise ValueError(f"hop {hop} > 128 must be a multiple of 128")
     win_length = win_length or n_fft
@@ -520,36 +618,70 @@ def fused_mel_frontend(
             out_dtype=out_dtype,
         )
     widths = tuple(min(hop, sup - k * hop) for k in range(n_shift))
-    bsz, t = audio.shape
+    if rows_in:
+        bsz, t = audio.shape[0], int(n_samples)
+    else:
+        bsz, t = audio.shape
     pad = n_fft // 2
     eff_pad = pad - pw  # left padding so frame f's SUPPORT starts at f*hop
     nf = 1 + t // hop
     nj = -(-nf // blkf)
     nf_pad = nj * blkf
     lane = max(hop, 128)
-    # hop-rows, one extra block so the tail view of the last step is in range
-    rows_total = (nj + 1) * blkf
+    # hop-rows + _TAIL_ROWS spare so the tail view of the last step is in
+    # range (Pallas blocks only WINDOW the operand — the rows dim need not
+    # divide blkf; a full spare block here cost 17% extra audio pad/traffic
+    # on the 30 s flagship and +17% upload bytes on the rows contract, r4)
+    rows_total = nj * blkf + _TAIL_ROWS
     total = rows_total * hop
+    row_scale = 1.0
+    if rows_in:
+        if audio.shape[1] != rows_total:
+            raise ValueError(
+                f"rows input has {audio.shape[1]} rows, geometry needs "
+                f"{rows_total} (n_samples={t}, hop={hop}, blkf={blkf}) — "
+                "build with pack_hop_rows using the same geometry"
+            )
+        if audio.dtype == jnp.int16:
+            # raw PCM values dequantize during the VMEM staging copy
+            # (·2⁻¹⁵ is exact — see _stage_rows)
+            row_scale = float(2.0**-15)
+
+    def _kernel_view():
+        """Samples exactly as the kernels will see them (post staging
+        dequant) for the fixed-point modes' per-utterance scale reductions.
+        Under jit the convert/abs/scale fuse into the reduce — one
+        read-only pass, no materialized f32 copy. Rows input includes the
+        centered-framing pad zeros, which cannot raise an abs max (and the
+        signed bounds below only ever tighten the same way on both paths)."""
+        if rows_in:
+            return audio.astype(jnp.float32) * row_scale
+        return audio.astype(jnp.float32)
+
+    _red_axes = (1, 2) if rows_in else (1,)
     i24_scale = None
     if algorithm == "i24":
         # per-utterance 24-bit quantization scale; the actual rounding and
         # digit split happen in-kernel on the assembled frames (see
         # _kernel_i24), so the audio transport stays plain f32 rows
-        amax = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
-        i24_scale = (127.0 * 65536.0 - 33000.0) / jnp.maximum(
-            amax.astype(jnp.float32), 1e-20
-        )
-    # NOTE r4: reformulating this prep chain (concat-instead-of-pad,
-    # cast-before/after-pad) measured a wash on v5e (9.75/9.85/9.86/9.93
-    # ms/batch end-to-end) — XLA canonicalizes all four to the same program.
-    # The residual ~2.3 ms of pad/convert/relayout around the kernel can only
-    # move in-kernel (DMA from the flat audio ref), not by jnp rephrasing.
-    audio_p = jnp.pad(audio, ((0, 0), (eff_pad, total - t - eff_pad)))
-    if algorithm == "bf16":
-        # corpus mode: bf16 samples at rest halve audio HBM traffic and the
-        # VMEM staging copy (consistent with the mode's documented accuracy)
-        audio_p = audio_p.astype(jnp.bfloat16)
-    audio_p = audio_p.reshape(bsz, rows_total, hop)
+        amax = jnp.max(jnp.abs(_kernel_view()), axis=_red_axes).reshape(bsz, 1)
+        i24_scale = (127.0 * 65536.0 - 33000.0) / jnp.maximum(amax, 1e-20)
+    if rows_in:
+        audio_p = audio
+    else:
+        # NOTE r4: reformulating this prep chain (concat-instead-of-pad,
+        # cast-before/after-pad) measured a wash on v5e (9.75/9.85/9.86/9.93
+        # ms/batch end-to-end) — XLA canonicalizes all four to the same
+        # program. The residual ~2.3 ms of pad/convert/relayout around the
+        # kernel cannot move by jnp rephrasing — it is gone only on the
+        # rows-input path above, where the layout exists at rest.
+        audio_p = jnp.pad(audio, ((0, 0), (eff_pad, total - t - eff_pad)))
+        if algorithm == "bf16":
+            # corpus mode: bf16 samples at rest halve audio HBM traffic and
+            # the VMEM staging copy (consistent with the mode's documented
+            # accuracy)
+            audio_p = audio_p.astype(jnp.bfloat16)
+        audio_p = audio_p.reshape(bsz, rows_total, hop)
     # NO explicit lane pad hop→128: the TPU physical layout of the hop-wide
     # minor dim is lane-padded anyway, the kernels only ever read the first
     # ``hop`` lanes of each staged row (widths ≤ hop), and the scratch's
@@ -644,9 +776,9 @@ def fused_mel_frontend(
             # step size; tests pin the quiet case). Full-scale int16 audio
             # gets exactly s = 32768 (k = 15 on the /32768 normalization),
             # i.e. the identity digit split.
-            af = audio.astype(jnp.float32)
-            pmax = jnp.max(af, axis=-1, keepdims=True)
-            nmax = -jnp.min(af, axis=-1, keepdims=True)
+            af = _kernel_view()
+            pmax = jnp.max(af, axis=_red_axes).reshape(bsz, 1)
+            nmax = -jnp.min(af, axis=_red_axes).reshape(bsz, 1)
             amax = jnp.maximum(pmax, nmax)
             # frexp/ldexp, NOT exp2(floor(log2(·))): f32 log2/exp2 are
             # transcendental approximations and are NOT exact at integer
@@ -678,7 +810,7 @@ def fused_mel_frontend(
             for op in extra_ops[1:]
         ]
         kw = dict(blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
-                  out_dtype=out_dtype)
+                  out_dtype=out_dtype, row_scale=row_scale)
         if pipeline:
             kw["nj"] = nj
         return _launch(
@@ -707,12 +839,13 @@ def fused_mel_frontend(
         kern = partial(
             _kernel_pipe, blkf=blkf, nj=nj, bins_pad=bins_pad, widths=widths,
             nf=nf, algorithm=algorithm, out_dtype=out_dtype,
+            row_scale=row_scale,
         )
     else:
         kern = partial(
             _kernel, blkf=blkf, hop=hop, lane=lane, bins_pad=bins_pad,
             widths=widths, nf=nf, algorithm=algorithm, out_dtype=out_dtype,
-            frame_mode=frame_mode,
+            frame_mode=frame_mode, row_scale=row_scale,
         )
     return _launch(
         kern, pipelined=pipeline, audio_p=audio_p, extra_ops=extra_ops,
@@ -1015,6 +1148,7 @@ def fused_mfcc(
     frame_mask: jnp.ndarray | None = None,
     algorithm: str | None = None,
     transposed: bool = False,
+    n_samples: int | None = None,
 ) -> jnp.ndarray:
     """MFCC [B, NF, n_mfcc] via the fused kernels — or coef-major
     [B, n_mfcc, NF] with ``transposed=True`` (same numbers, transposed
@@ -1023,13 +1157,19 @@ def fused_mfcc(
     librosa semantics (power=2, power_to_db top_db=80, DCT-II ortho), same
     contract as ops/spectral.mfcc_from_frames. ``algorithm`` ∈
     {'f32', 'x3', 'bf16'}, defaulting from ``compute_dtype``.
+
+    3-D ``audio`` = pre-laid-out hop rows from :func:`pack_hop_rows`
+    (``n_samples`` required) — the zero-prep corpus contract, see
+    :func:`fused_mel_frontend`.
     """
     if algorithm is None:
         algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
     single = audio.ndim == 1
     if single:
         audio = audio[None, :]
-    t = audio.shape[-1]
+    if audio.ndim == 3 and n_samples is None:
+        raise ValueError("rows input [B, rows, hop] requires n_samples")
+    t = int(n_samples) if audio.ndim == 3 else audio.shape[-1]
     nf = 1 + t // hop
     # hardware A/B knobs (docs/DESIGN.md §8: the bf16 mode's fixed frontend
     # cost F ≈ 6.2 ms is per-grid-step serial VPU work + prep, not MXU —
@@ -1052,6 +1192,7 @@ def fused_mfcc(
         algorithm=algorithm,
         out_dtype=jnp.bfloat16 if algorithm == "bf16" else jnp.float32,
         pipeline=pipeline,
+        n_samples=n_samples,
     )
     # per-utterance top_db peak: log10 is monotone, so peak_db =
     # 10·log10(max(mel_power)) over valid frames — from the kernel's

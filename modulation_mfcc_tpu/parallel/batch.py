@@ -89,6 +89,7 @@ def batched_mfcc_change(
     spectrum: str | None = None,
     uniform_lengths: bool = False,
     masked_fir: bool = False,
+    n_samples: int | None = None,
 ):
     """Masked batched modulation-cepstrum: returns (tot_change [B, NF],
     frame_mask [B, NF]). Exact per-file parity on valid frames (the filter
@@ -96,16 +97,33 @@ def batched_mfcc_change(
 
     ``uniform_lengths=True`` (static) asserts every utterance fills the
     bucket, skipping the masked edge machinery — the fast path for
-    fully-packed corpus buckets."""
-    batch = AudioBatch(dequantize_samples(batch.samples), batch.lengths)
-    mask = frame_validity_mask(batch.lengths, batch.samples.shape[-1], cfg)
+    fully-packed corpus buckets.
+
+    3-D ``batch.samples`` = pre-laid-out hop rows [B, rows, hop]
+    (``n_samples`` = the bucket's padded sample count then required; pallas
+    spectra only): the zero-prep corpus contract — int16 rows go straight
+    into the fused kernel, which dequantizes during VMEM staging, so none
+    of the flat path's dequantize/pad/relayout XLA passes run
+    (pallas/fused_frontend.pack_hop_rows)."""
+    rows_in = batch.samples.ndim == 3
+    if rows_in:
+        if n_samples is None:
+            raise ValueError("hop-rows batch requires n_samples")
+        samples = batch.samples  # int16 rows dequantize in-kernel
+        t_pad = int(n_samples)
+    else:
+        samples = dequantize_samples(batch.samples)
+        t_pad = samples.shape[-1]
+        n_samples = None
+    mask = frame_validity_mask(batch.lengths, t_pad, cfg)
     if uniform_lengths:
-        tot = mfcc_change(batch.samples, cfg, use_fft=use_fft, spectrum=spectrum)
+        tot = mfcc_change(samples, cfg, use_fft=use_fft, spectrum=spectrum,
+                          n_samples=n_samples)
         return tot, mask
     nf_real = 1 + batch.lengths // cfg.hop_length
     tot = mfcc_change(
-        batch.samples, cfg, frame_lengths=nf_real, use_fft=use_fft,
-        spectrum=spectrum, masked_fir=masked_fir,
+        samples, cfg, frame_lengths=nf_real, use_fft=use_fft,
+        spectrum=spectrum, masked_fir=masked_fir, n_samples=n_samples,
     )
     return tot, mask
 

@@ -241,7 +241,8 @@ def _timed_iter(gen, stats: dict, key: str):
         yield item
 
 
-def _bucketed_batches(items, sweep: CorpusSweep, stats: dict | None = None):
+def _bucketed_batches(items, sweep: CorpusSweep, stats: dict | None = None,
+                      rows_mode: bool = False):
     """Group decoded files into fixed-size padded batches by length bucket."""
     import time
 
@@ -260,29 +261,48 @@ def _bucketed_batches(items, sweep: CorpusSweep, stats: dict | None = None):
         if len(buckets[key]) == sweep.batch_size:
             group = buckets.pop(key)
             t0 = time.perf_counter()
-            b = _make_batch(group, key[0])
+            b = _make_batch(group, key[0], sweep.cfg if rows_mode else None)
             if stats is not None:
                 stats["assemble_busy_s"] += time.perf_counter() - t0
             yield b
     for key, group in buckets.items():
         t0 = time.perf_counter()
-        b = _make_batch(group, key[0])
+        b = _make_batch(group, key[0], sweep.cfg if rows_mode else None)
         if stats is not None:
             stats["assemble_busy_s"] += time.perf_counter() - t0
         yield b
 
 
-def _make_batch(group, t_pad):
+def _make_batch(group, t_pad, rows_cfg: MfccConfig | None = None):
     paths = [p for p, _ in group]
     sigs = [y for _, y in group]
     lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+    if rows_cfg is not None and all(s.dtype == np.int16 for s in sigs):
+        # hop-rows assembly (the zero-prep device contract,
+        # pallas/fused_frontend.pack_hop_rows): the SAME one pad-memcpy per
+        # file the flat path does, just placed at the centered-framing
+        # offset in a hop-row-shaped buffer — the device then reads the
+        # batch straight into the fused kernel with no dequantize/pad/
+        # relayout passes at all
+        from modulation_mfcc_tpu.pallas.fused_frontend import hop_rows_geometry
+
+        hop = rows_cfg.hop_length
+        rows_total, eff_pad = hop_rows_geometry(
+            t_pad, n_fft=rows_cfg.n_fft, hop=hop,
+            win_length=rows_cfg.win_length,
+        )
+        buf = np.zeros((len(sigs), rows_total * hop), np.int16)
+        for i, s in enumerate(sigs):
+            buf[i, eff_pad : eff_pad + len(s)] = s
+        samples = buf.reshape(len(sigs), rows_total, hop)
+        return paths, {"samples": samples, "lengths": lengths}, t_pad
     if all(s.dtype == np.int16 for s in sigs):
         # int16 passthrough (native loader want_i16): already on the upload
         # grid — one pad memcpy, no float conversion, no grid check
         samples = np.zeros((len(sigs), t_pad), dtype=np.int16)
         for i, s in enumerate(sigs):
             samples[i, : len(s)] = s
-        return paths, {"samples": samples, "lengths": lengths}
+        return paths, {"samples": samples, "lengths": lengths}, None
     samples = np.zeros((len(sigs), t_pad), dtype=np.float32)
     for i, s in enumerate(sigs):
         samples[i, : len(s)] = s
@@ -301,7 +321,7 @@ def _make_batch(group, t_pad):
         as_i16 = scaled.astype(np.int16)
         if np.array_equal(as_i16, scaled):
             samples = as_i16
-    return paths, {"samples": samples, "lengths": lengths}
+    return paths, {"samples": samples, "lengths": lengths}, None
 
 
 def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
@@ -336,6 +356,18 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
         "decode_busy_s": 0.0, "assemble_busy_s": 0.0, "upload_busy_s": 0.0,
         "upload_mb": 0.0, "fetch_wait_s": 0.0, "write_busy_s": 0.0,
     }
+    # hop-rows fast path (pallas/fused_frontend.pack_hop_rows): int16
+    # batches assemble directly in the kernels' hop-row layout, so the
+    # device runs ZERO prep passes (no dequantize/pad/relayout — ~2.3 ms
+    # of the flagship's device time, docs/DESIGN.md §8). Only when
+    # mod_cepstr is the sole feature: the tracker extras consume flat
+    # samples. f32 (off-grid) buckets fall back to flat automatically
+    # (_make_batch keys assembly on the bucket's dtype).
+    rows_mode = (
+        sweep.spectrum.startswith("pallas")
+        and tuple(sweep.features) == ("mod_cepstr",)
+        and sweep.mesh is None
+    )
     decode = background_iter(
         _timed_iter(_decode_stream(todo, sweep), stats, "decode_busy_s"),
         maxsize=2 * sweep.batch_size,
@@ -343,27 +375,31 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
     # batch assembly (pad copy + int16-grid check) is itself ~0.3 s/GB of
     # host passes — run it in a worker thread too so it overlaps the main
     # loop's device dispatch/fetch (numpy releases the GIL)
-    batches = background_iter(_bucketed_batches(decode, sweep, stats), maxsize=2)
+    batches = background_iter(
+        _bucketed_batches(decode, sweep, stats, rows_mode=rows_mode), maxsize=2
+    )
 
-    # (paths, host-side lengths) per batch: lengths are host-known before
-    # upload, so the write-out loop never reads them back from the device
-    path_groups: list[tuple[list[str], np.ndarray]] = []
+    # (paths, host-side lengths, rows-batch n_samples) per batch: lengths
+    # are host-known before upload, so the write-out loop never reads them
+    # back from the device
+    path_groups: list[tuple[list[str], np.ndarray, int | None]] = []
 
     def device_stream():
-        for paths_b, arrays in batches:
-            path_groups.append((paths_b, arrays["lengths"]))
+        for paths_b, arrays, t_pad_b in batches:
+            path_groups.append((paths_b, arrays["lengths"], t_pad_b))
             yield arrays
 
     mf = min_frames_for_fir(sweep.cfg)
 
-    @partial(jax.jit, static_argnames=("masked_fir",))
-    def run_batch(samples, lengths, masked_fir):
+    @partial(jax.jit, static_argnames=("masked_fir", "n_samples"))
+    def run_batch(samples, lengths, masked_fir, n_samples=None):
         return batched_mfcc_change(
             AudioBatch(samples, lengths), sweep.cfg,
             spectrum=sweep.spectrum, masked_fir=masked_fir,
+            n_samples=n_samples,
         )
 
-    def run_mod(samples_d, lengths_d, fir_ok):
+    def run_mod(samples_d, lengths_d, fir_ok, t_pad_b=None):
         if sweep.mesh is not None:
             from modulation_mfcc_tpu.parallel.batch import sharded_mfcc_change
 
@@ -372,7 +408,7 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
                 spectrum=sweep.spectrum, masked_fir=fir_ok,
             )
             return tot, mask
-        return run_batch(samples_d, lengths_d, fir_ok)
+        return run_batch(samples_d, lengths_d, fir_ok, t_pad_b)
 
     from modulation_mfcc_tpu.models.config import (
         AmplitudeConfig,
@@ -485,10 +521,12 @@ def sweep_mfcc_change(paths: list[str], sweep: CorpusSweep) -> dict:
 
     with open(_done_path(sweep), "a") as done_f:
         for arrays in prefetch_to_device(device_stream(), depth=2, stats=stats):
-            paths_b, lengths_np = path_groups.pop(0)
+            paths_b, lengths_np, t_pad_b = path_groups.pop(0)
             nf_min = 1 + int(lengths_np.min()) // sweep.cfg.hop_length
             fir_ok = mf is not None and nf_min >= mf
-            tot, _mask = run_mod(arrays["samples"], arrays["lengths"], fir_ok)
+            tot, _mask = run_mod(
+                arrays["samples"], arrays["lengths"], fir_ok, t_pad_b
+            )
             extras_d = dispatch_extras(arrays["samples"], arrays["lengths"])
             pending.append(
                 (

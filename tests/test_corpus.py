@@ -146,18 +146,61 @@ def test_int16_upload_path_exact(tmp_path):
 
     rng = np.random.default_rng(3)
     on_grid = (rng.integers(-(2**15), 2**15 - 1, 4000).astype(np.float32)) / 32768.0
-    _, arrays = _make_batch([("a.wav", on_grid)], 4096)
+    _, arrays, _ = _make_batch([("a.wav", on_grid)], 4096)
     assert arrays["samples"].dtype == np.int16
     deq = np.asarray(dequantize_samples(jnp.asarray(arrays["samples"])))
     np.testing.assert_array_equal(deq[0, :4000], on_grid)
     # edge value -1.0 (= -32768) is on-grid
-    _, arrays = _make_batch([("b.wav", np.full(100, -1.0, np.float32))], 128)
+    _, arrays, _ = _make_batch([("b.wav", np.full(100, -1.0, np.float32))], 128)
     assert arrays["samples"].dtype == np.int16
     # off-grid floats must NOT quantize
     off = on_grid + 1e-6
-    _, arrays = _make_batch([("c.wav", off.astype(np.float32))], 4096)
+    _, arrays, _ = _make_batch([("c.wav", off.astype(np.float32))], 4096)
     assert arrays["samples"].dtype == np.float32
     # out-of-range (>1) floats must NOT quantize (cast wraps, compare catches)
     loud = np.full(100, 1.5, np.float32)
-    _, arrays = _make_batch([("d.wav", loud)], 128)
+    _, arrays, _ = _make_batch([("d.wav", loud)], 128)
     assert arrays["samples"].dtype == np.float32
+
+
+def test_sweep_hop_rows_path_matches_flat(tmp_path):
+    """The hop-rows corpus fast path (pallas spectrum + mod_cepstr-only +
+    int16 buckets, r4): records must equal the flat int16-upload sweep's
+    bitwise — the rows contract dequantizes in-kernel with an exact ·2⁻¹⁵.
+    Runs the real sweep driver twice under interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    sr = 16_000
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(3):
+        n = int(sr * (0.5 + 0.1 * i))
+        y = (rng.integers(-8000, 8000, n).astype(np.float32)) / 32768.0
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, y, sr)
+        paths.append(p)
+    cfg = MfccConfig(signal_sample_rate=sr, maxFreq=8000.0)
+    with pltpu.force_tpu_interpret_mode():
+        sweep_rows = CorpusSweep(
+            out_dir=str(tmp_path / "rows"), cfg=cfg, batch_size=3,
+            spectrum="pallas_i16", resume=False,
+        )
+        rep = sweep_mfcc_change(paths, sweep_rows)
+        assert rep["items"] == 3
+        # flat comparison: force the non-rows assembly by requesting a
+        # second (flat-consuming) feature alongside — envelope uses flat
+        # samples, so rows_mode must disable itself
+        from modulation_mfcc_tpu.models.config import AmplitudeConfig
+
+        sweep_flat = CorpusSweep(
+            out_dir=str(tmp_path / "flat"), cfg=cfg, batch_size=3,
+            spectrum="pallas_i16", resume=False,
+            features=("mod_cepstr", "envelope"),
+            amp_cfg=AmplitudeConfig(method="RMS"),
+        )
+        sweep_mfcc_change(paths, sweep_flat)
+    for i in range(3):
+        r = np.load(tmp_path / "rows" / f"u{i}.npz")
+        f = np.load(tmp_path / "flat" / f"u{i}.npz")
+        np.testing.assert_array_equal(r["mod_cepstr"], f["mod_cepstr"])
+        np.testing.assert_array_equal(r["times"], f["times"])

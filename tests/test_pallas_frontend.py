@@ -452,3 +452,116 @@ def test_matmul_frame_mode_matches_concat(audio):
     np.testing.assert_allclose(
         np.asarray(bm_m), np.asarray(bm_c), rtol=1e-5, atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Rows-input contract (the zero-prep corpus format, r4): pre-laid-out hop
+# rows [B, rows_total, hop] consumed directly by the kernels — no XLA-side
+# pad/cast/relayout. int16 rows dequantize (·2⁻¹⁵, exact) during staging.
+
+
+@pytest.fixture(scope="module")
+def pcm16():
+    rng = np.random.default_rng(20260819)
+    return (rng.standard_normal((2, 24_000)) * 8000.0).astype(np.int16)
+
+
+def _rows_and_flat(pcm, dtype=None):
+    from modulation_mfcc_tpu.pallas.fused_frontend import pack_hop_rows
+
+    rows = pack_hop_rows(pcm if dtype is None else pcm.astype(dtype),
+                         hop=80, win_length=400)
+    flat = jnp.asarray(pcm.astype(np.float32) * np.float32(2.0**-15))
+    return jnp.asarray(rows), flat
+
+
+@pytest.mark.parametrize("algo", ["f32", "x3", "i24", "i16"])
+def test_rows_input_bitwise_matches_flat(pcm16, algo):
+    """int16 rows == flat f32 BITWISE for every f32-staged algorithm: the
+    staging dequant v·2⁻¹⁵ is exact, so the kernels see identical values
+    and every downstream op is the same op."""
+    rows, flat = _rows_and_flat(pcm16)
+    t = pcm16.shape[-1]
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_mfcc(rows, sr=16_000.0, hop=80, win_length=400,
+                         fmax=8000.0, algorithm=algo, n_samples=t)
+        want = fused_mfcc(flat, sr=16_000.0, hop=80, win_length=400,
+                          fmax=8000.0, algorithm=algo)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rows_input_f32_rows_bitwise(pcm16):
+    """f32 rows (arbitrary float audio pre-packed) == flat, bitwise."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import pack_hop_rows
+
+    flat = pcm16.astype(np.float32) * np.float32(2.0**-15)
+    rows = jnp.asarray(pack_hop_rows(flat, hop=80, win_length=400))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_mfcc(rows, sr=16_000.0, hop=80, win_length=400,
+                         fmax=8000.0, algorithm="i24",
+                         n_samples=flat.shape[-1])
+        want = fused_mfcc(jnp.asarray(flat), sr=16_000.0, hop=80,
+                          win_length=400, fmax=8000.0, algorithm="i24")
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rows_input_bf16_within_mode_tolerance(pcm16):
+    """bf16-mode rows skip the flat path's bf16 pre-rounding of samples
+    (documented: same-or-better accuracy, not bit-identical) — both must
+    sit within the mode's error envelope of the f32 result."""
+    rows, flat = _rows_and_flat(pcm16)
+    t = pcm16.shape[-1]
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_mfcc(rows, sr=16_000.0, hop=80,
+                                    win_length=400, fmax=8000.0,
+                                    algorithm="bf16", n_samples=t))
+        via_flat = np.asarray(fused_mfcc(flat, sr=16_000.0, hop=80,
+                                         win_length=400, fmax=8000.0,
+                                         algorithm="bf16"))
+        exact = np.asarray(fused_mfcc(flat, sr=16_000.0, hop=80,
+                                      win_length=400, fmax=8000.0,
+                                      algorithm="f32"))
+    assert np.max(np.abs(got - exact)) <= np.max(np.abs(via_flat - exact)) + 0.1
+    np.testing.assert_allclose(got, via_flat, atol=0.5)
+
+
+def test_rows_input_masked_mfcc_change(pcm16):
+    """End-to-end masked corpus path on rows: mfcc_change(rows, …,
+    frame_lengths) == mfcc_change(flat, …, frame_lengths) bitwise."""
+    from modulation_mfcc_tpu.models.modulation import mfcc_change
+
+    rows, flat = _rows_and_flat(pcm16)
+    t = pcm16.shape[-1]
+    cfg = MfccConfig(signal_sample_rate=16_000, maxFreq=8000.0)
+    lengths = jnp.asarray([1 + (t - 4000) // 80, 1 + t // 80], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = mfcc_change(rows, cfg, frame_lengths=lengths,
+                          spectrum="pallas_i16", n_samples=t)
+        want = mfcc_change(flat, cfg, frame_lengths=lengths,
+                           spectrum="pallas_i16")
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pack_hop_rows_np_jnp_agree(pcm16):
+    from modulation_mfcc_tpu.pallas.fused_frontend import pack_hop_rows
+
+    flat = pcm16.astype(np.float32)
+    rn = pack_hop_rows(flat, hop=80, win_length=400)
+    rj = pack_hop_rows(jnp.asarray(flat), hop=80, win_length=400)
+    assert isinstance(rn, np.ndarray)
+    assert np.array_equal(rn, np.asarray(rj))
+    # dtype-preserving for int16
+    assert pack_hop_rows(pcm16, hop=80, win_length=400).dtype == np.int16
+
+
+def test_rows_input_validation(pcm16):
+    rows, _ = _rows_and_flat(pcm16)
+    with pytest.raises(ValueError, match="n_samples"):
+        fused_mfcc(rows, sr=16_000.0, hop=80, win_length=400, fmax=8000.0)
+    with pytest.raises(ValueError, match="rows"):
+        fused_mfcc(rows[:, :-1024], sr=16_000.0, hop=80, win_length=400,
+                   fmax=8000.0, n_samples=pcm16.shape[-1])
+    cfg = MfccConfig(signal_sample_rate=16_000, maxFreq=8000.0)
+    with pytest.raises(ValueError, match="pallas"):
+        mfcc_trajectories(rows, cfg, spectrum="fft",
+                          n_samples=pcm16.shape[-1])
