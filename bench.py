@@ -79,11 +79,13 @@ def _throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> floa
 
 def _rows_throughput(spectrum: str, batch: int, seconds: float, n_super: int) -> float:
     """Throughput from audio AT REST in the zero-prep hop-rows contract
-    (pallas/fused_frontend.pack_hop_rows): int16 PCM pre-laid-out in the
-    fused kernel's hop-row format, dequantized during VMEM staging. This is
-    the corpus-serving number — the sweep's batch assembler emits this
-    layout for free, and the device then runs zero prep passes (the flat
-    path's ~1-2 ms/batch of pad/cast/relayout data movement is gone)."""
+    (pallas/fused_frontend.pack_hop_rows): PCM pre-laid-out in the fused
+    kernel's hop-row format. bf16/i16 spectra take int16 rows (dequantized
+    during VMEM staging); the f32-staged parity spectra (f32/x3/i24) take
+    f32 rows of the SAME dequantized audio. This is the corpus-serving
+    number — the sweep's batch assembler emits this layout for free, and
+    the device then runs zero prep passes (the flat path's ~1-2 ms/batch
+    of pad/cast/relayout data movement is gone)."""
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +102,8 @@ def _rows_throughput(spectrum: str, batch: int, seconds: float, n_super: int) ->
     def gen(k):
         x = jax.random.normal(k, (n_super, batch, t_pad), jnp.float32)
         pcm = jnp.clip(x * 8000.0, -32768, 32767).astype(jnp.int16)
+        if spectrum in ("pallas", "pallas_x3", "pallas_i24"):
+            pcm = pcm.astype(jnp.float32) * 2.0**-15
         return jax.vmap(
             lambda b: pack_hop_rows(b, hop=cfg.hop_length, n_fft=cfg.n_fft,
                                     win_length=cfg.win_length)
@@ -546,11 +550,19 @@ def _await_backend(max_tries: int | None = None, wait_s: float = 120.0) -> bool:
         max_tries = int(os.environ.get("MODMFCC_BENCH_BACKEND_TRIES", "12"))
     for attempt in range(max_tries):
         try:
+            # import the package first: it enables the persistent
+            # compilation cache, so the probe program compiles remotely
+            # at most once EVER — a degraded-slow tunnel (2026-08-20:
+            # cold compiles >4 min) would otherwise time out every probe
+            # forever even though the device works
             r = subprocess.run(
                 [sys.executable, "-c",
+                 "import modulation_mfcc_tpu;"
                  "import jax, jax.numpy as jnp;"
                  "print(float(jnp.sum(jnp.ones((8, 128)))))"],
-                timeout=180, capture_output=True, env=os.environ,
+                timeout=float(os.environ.get(
+                    "MODMFCC_BENCH_PROBE_TIMEOUT", "180")),
+                capture_output=True, env=os.environ,
             )
             if r.returncode == 0:
                 return True
@@ -606,21 +618,28 @@ def _tests_green() -> dict:
 
 
 class _Watchdog:
-    """Emit the PARTIAL artifact and hard-exit if a field hangs.
+    """Hand off to a resume subprocess — or emit the PARTIAL artifact —
+    and hard-exit if a field hangs.
 
     The 2026-08-19 tunnel mode: backend init succeeds, then device
     execution blocks FOREVER inside C++ (no exception, GIL released, so
     neither ``except`` nor SIGALRM can fire in the main thread). The
     subprocess probe catches this *before* the run; this thread catches it
-    *mid*-run — after ``timeout_s`` without the main thread disarming, it
-    prints whatever fields already completed as the artifact of record and
-    ``os._exit``\\ s so the driver is never left hanging."""
+    *mid*-run. After ``timeout_s`` without the main thread disarming it
+    first tries ``handoff(field)`` — main() wires that to spawn
+    ``bench.py --resume <state>`` which skips the hung field and runs the
+    REST (one hang must not cost every later field; the child's single
+    artifact line is forwarded as ours). If the handoff is exhausted
+    (depth cap) or fails, it prints whatever fields already completed as
+    the artifact of record. Either way it ``os._exit``\\ s so the driver
+    is never left hanging."""
 
-    def __init__(self, emit, timeout_s: float):
+    def __init__(self, emit, timeout_s: float, handoff=None):
         import threading
 
         self.emit = emit
         self.timeout_s = timeout_s
+        self.handoff = handoff
         self.deadline: float | None = None
         self.field = ""
         self._lock = threading.Lock()
@@ -646,13 +665,22 @@ class _Watchdog:
             with self._lock:
                 d, field = self.deadline, self.field
             if d is not None and time.monotonic() > d:
-                print(f"# field {field!r} hung > {self.timeout_s:.0f}s; "
-                      "emitting partial artifact", file=sys.stderr)
+                print(f"# field {field!r} hung > {self.timeout_s:.0f}s",
+                      file=sys.stderr)
+                handed_off = False
+                if self.handoff is not None:
+                    try:
+                        handed_off = bool(self.handoff(field))
+                    except Exception as e:  # noqa: BLE001
+                        print(f"# resume handoff failed: {e!r}",
+                              file=sys.stderr)
                 try:
                     # the watchdog's ONE job is terminating the hung
                     # process — a bug in artifact assembly must not leave
                     # it hanging forever with only this thread dead
-                    self.emit(error=f"{field} hung; partial artifact")
+                    if not handed_off:
+                        print("# emitting partial artifact", file=sys.stderr)
+                        self.emit(error=f"{field} hung; partial artifact")
                     sys.stdout.flush()
                     sys.stderr.flush()
                 finally:
@@ -690,7 +718,9 @@ def _sync_docs(artifact_path: str | None = None) -> int:
         ("i16 (exact for int16-PCM audio)", fmt(art.get("i16_parity_mode")), ""),
         ("i16, hop-rows at rest", fmt(art.get("i16_rows")), ""),
         ("x3 (≤1e-4 at the deliverable)", fmt(art.get("f32_x3_mode")), ""),
+        ("x3, hop-rows at rest", fmt(art.get("x3_rows")), ""),
         ("i24 (≤1e-4 MFCC, any f32 audio)", fmt(art.get("i24_parity_mode")), ""),
+        ("i24, hop-rows at rest", fmt(art.get("i24_rows")), ""),
         ("f32 HIGHEST parity mode", fmt(art.get("f32_parity_mode")), ""),
         ("modspec_batch", fmt(art.get("modspec_batch")), ""),
         ("masked_batch_64", fmt(art.get("masked_batch_64")), ""),
@@ -725,32 +755,35 @@ def _sync_docs(artifact_path: str | None = None) -> int:
     return 0
 
 
-def main() -> None:
+def main(resume_path: str | None = None) -> None:
     import os
 
-    if not _await_backend():
-        # a dead remote backend HANGS jax calls (init blocks forever, no
-        # error) — emit the null artifact instead of hanging the driver
-        print(json.dumps({
-            "metric": "mfcc_modulation_throughput", "value": None,
-            "unit": "audio-hours/sec/chip @16kHz (bf16 corpus mode)",
-            "vs_baseline": None,
-            "error": "TPU backend unreachable after backend-probe patience",
-            **_tests_green(),
-        }))
-        return
+    # --resume <state.json>: continuation spawned by a parent bench whose
+    # current field hung (watchdog handoff). The state seeds every field
+    # the parent finished; the hung field is in `skip` and never re-run.
+    state: dict = {}
+    if resume_path is not None:
+        with open(resume_path) as f:
+            state = json.load(f)
     batch, seconds, n_super = 128, 30.0, 8
 
     per_chip_target = 500.0 / 8.0
     fields: dict = {
         "value": None, "bf16_rows": None, "f32_parity_mode": None,
-        "i24_parity_mode": None, "i16_parity_mode": None,
-        "i16_rows": None, "f32_x3_mode": None, "tracker_sweep": None,
+        "i24_parity_mode": None, "i24_rows": None, "i16_parity_mode": None,
+        "i16_rows": None, "f32_x3_mode": None, "x3_rows": None,
+        "tracker_sweep": None,
         "pyin_sweep": None, "pyin_sweep_16k": None, "masked_batch_64": None,
         "modspec_batch": None, "longform_1h_s": None, "corpus_sweep": None,
         "corpus_stats": None, "corpus_2shard": None,
     }
-    engine_fallbacks: list = []
+    fields.update(state.get("fields", {}))
+    # completed: label → outcome of every _try that actually ran (None =
+    # ran and failed); skip: labels that HUNG somewhere up the chain
+    completed: dict = dict(state.get("completed", {}))
+    skip: set = set(state.get("skip", []))
+    hung: list = list(state.get("hung", []))
+    engine_fallbacks: list = list(state.get("engine_fallbacks", []))
 
     def _emit(error: str | None = None) -> None:
         bf16 = fields["value"]
@@ -766,36 +799,98 @@ def main() -> None:
             "engine_fallbacks": engine_fallbacks,
             **_tests_green(),
         }
+        if hung:
+            art["hung_fields"] = hung
         if error is not None:
             art["error"] = error
         print(json.dumps(art))
 
+    def _handoff(hung_field: str) -> bool:
+        """Spawn `bench.py --resume <state>` to run every field after the
+        hung one; forward the child's single artifact line as ours. Depth-
+        capped so a fully dead tunnel ends in a partial artifact, not an
+        endless chain. Returns True iff the child produced an artifact."""
+        import subprocess
+        import tempfile
+
+        depth = int(os.environ.get("MODMFCC_BENCH_RESUME_DEPTH", "3"))
+        if depth <= 0:
+            return False
+        st = {
+            "fields": fields, "completed": completed,
+            "skip": sorted(skip | {hung_field}),
+            "hung": hung + [hung_field],
+            "engine_fallbacks": engine_fallbacks,
+        }
+        with tempfile.NamedTemporaryFile(
+            "w", prefix="bench_resume_", suffix=".json", delete=False
+        ) as f:
+            json.dump(st, f)
+            path = f.name
+        env = dict(os.environ)
+        env["MODMFCC_BENCH_RESUME_DEPTH"] = str(depth - 1)
+        # the parent already paid the full backend patience; a resume child
+        # on a dead tunnel should give up quickly and emit what it has
+        env["MODMFCC_BENCH_BACKEND_TRIES"] = "3"
+        print(f"# resuming remaining fields in a subprocess "
+              f"(skip={st['skip']}, depth={depth - 1})", file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--resume", path],
+            stdout=subprocess.PIPE, text=True, env=env,
+        )
+        line = next((l for l in r.stdout.strip().splitlines()
+                     if l.startswith("{")), None)
+        if line is None:
+            return False
+        sys.stdout.write(line + "\n")
+        return True
+
     # remote compiles for shapes not in the persistent cache take minutes
     # (a fresh batch-2 masked program measured ~5 min) — the per-field
     # deadline must clear a worst-case cold compile plus the run
-    dog = _Watchdog(_emit, float(os.environ.get("MODMFCC_BENCH_FIELD_TIMEOUT", "1500")))
+    dog = _Watchdog(
+        _emit, float(os.environ.get("MODMFCC_BENCH_FIELD_TIMEOUT", "1500")),
+        handoff=_handoff,
+    )
 
-    # every field is guarded: a failure in any one must not sink the artifact
+    if not _await_backend():
+        # a dead remote backend HANGS jax calls (init blocks forever, no
+        # error) — emit what we have (a fresh run: the null artifact; a
+        # resume child: the parent's completed fields) instead of hanging
+        _emit(error="TPU backend unreachable after backend-probe patience")
+        return
+
+    # every field is guarded: a failure in any one must not sink the
+    # artifact. A label in `skip` hung up the chain — never re-run it; a
+    # label in `completed` already ran in a parent — reuse its outcome.
     def _try(fn, *a, _label: str | None = None, **k):
         # arm with the artifact-field label, not fn.__name__ — six modes
         # share '_throughput' and a partial artifact must name the hung one
-        dog.arm(_label or getattr(fn, "__name__", str(fn)))
-        try:
-            return round(fn(*a, **k), 3)
-        except Exception as e:  # noqa: BLE001 — report, don't die
-            print(f"# {_label or fn.__name__} failed: {e!r}", file=sys.stderr)
+        label = _label or getattr(fn, "__name__", str(fn))
+        if label in skip:
             return None
+        if label in completed:
+            return completed[label]
+        dog.arm(label)
+        try:
+            out = round(fn(*a, **k), 3)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            print(f"# {label} failed: {e!r}", file=sys.stderr)
+            out = None
         finally:
             dog.disarm()
+        completed[label] = out
+        return out
 
     bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super,
                 _label="bf16_headline")
-    if bf16 is None:
+    if bf16 is None and "bf16_headline" not in skip:
         # the headline: re-probe the backend (a mid-run tunnel flap
         # poisons this process's cached backend only for NEW compiles, and
         # a subprocess probe tells us whether waiting can help) and retry
         # — but only if the probe answers, a dead backend hangs jax calls
         if _await_backend(max_tries=6):
+            completed.pop("bf16_headline", None)
             bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super,
                         _label="bf16_headline")
     fields["value"] = bf16
@@ -806,8 +901,14 @@ def main() -> None:
         _throughput, "pallas", batch, seconds, n_super, _label="f32_parity_mode")
     fields["i24_parity_mode"] = _try(
         _throughput, "pallas_i24", batch, seconds, n_super, _label="i24_parity_mode")
+    fields["i24_rows"] = _try(
+        _rows_throughput, "pallas_i24", batch, seconds, n_super,
+        _label="i24_rows")
     fields["f32_x3_mode"] = _try(
         _throughput, "pallas_x3", batch, seconds, n_super, _label="f32_x3_mode")
+    fields["x3_rows"] = _try(
+        _rows_throughput, "pallas_x3", batch, seconds, n_super,
+        _label="x3_rows")
 
     # cross-engine gates, ONCE each (small compiles): a failed gate or a
     # failed Pallas timing demotes the field to the XLA engines and the
@@ -816,16 +917,23 @@ def main() -> None:
     pyin_safe = _try(_pyin_engines_agree) is None
     # the 16 kHz field gets its own gate: the MXU CMNDF geometry (nfft,
     # lag band) differs per sr, so a 10 kHz pass doesn't certify 16 kHz
-    pyin16_safe = _try(_pyin_engines_agree, sr=16_000) is None
+    pyin16_safe = _try(_pyin_engines_agree, sr=16_000,
+                       _label="_pyin_engines_agree_16k") is None
+
+    def _mark_fallback(name):
+        if name not in engine_fallbacks:  # resume children seed the list
+            engine_fallbacks.append(name)
 
     def _try_engines(name, safe0, fn, *a, **k):
         got = _try(fn, *a, safe=safe0, _label=name, **k)
-        if got is None and not safe0:
+        if got is None and not safe0 and name not in skip:
+            # drop the failed attempt's record or the retry short-circuits
+            completed.pop(name, None)
             got = _try(fn, *a, safe=True, _label=name, **k)
             if got is not None:
-                engine_fallbacks.append(name)
+                _mark_fallback(name)
         elif safe0:
-            engine_fallbacks.append(name)
+            _mark_fallback(name)
         return got
 
     fields["i16_parity_mode"] = _try(
@@ -854,4 +962,6 @@ if __name__ == "__main__":
     if "--sync-docs" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--sync-docs"]
         sys.exit(_sync_docs(args[0] if args else None))
+    if "--resume" in sys.argv:
+        sys.exit(main(resume_path=sys.argv[sys.argv.index("--resume") + 1]))
     sys.exit(main())
