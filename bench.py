@@ -365,7 +365,15 @@ def _corpus_2shard_throughput(n_files: int = 128, seconds: float = 30.0) -> floa
     against the one chip. 128 files so each shard is an exact batch-32
     multiple (reuses the program the corpus_sweep field just compiled into
     the persistent cache). Audio-hours per second of the UNION of the two
-    shards' sweep windows (per-process init excluded — see below)."""
+    shards' sweep windows (per-process init excluded — see below).
+
+    Measured close-out (2026-08-20, docs/DESIGN.md §10): on the axon
+    tunnel this is an ANTI-PATTERN — two clients against one tunneled
+    chip serialize with ~0.5 s/switch overhead (per-shard fetch_wait_s
+    0.7 → 28-33 s, link split 7.1 MB/s/shard), measuring ~5x WORSE than
+    one process. The field stays because it exercises the --num-shards
+    host-feeding machinery end-to-end and documents the serialization;
+    the deployment shape it stands in for is one shard per CHIP."""
     import shutil
     import subprocess
     import tempfile
@@ -431,10 +439,12 @@ def _corpus_2shard_throughput(n_files: int = 128, seconds: float = 30.0) -> floa
         # not pay either (it benches in-process). The union still charges
         # any serialization between the shards.
         windows = []
-        for ep in err_paths:
+        _LAST_2SHARD_STATS.clear()
+        for si, ep in enumerate(err_paths):
             with open(ep) as ef:
                 err = ef.read()
             t_start = t_finish = None
+            stages: dict = {}
             for line in err.splitlines():
                 try:
                     rec = json.loads(line)
@@ -444,13 +454,30 @@ def _corpus_2shard_throughput(n_files: int = 128, seconds: float = 30.0) -> floa
                     t_start = rec["ts"]
                 elif rec.get("event") == "corpus.finish":
                     t_finish = rec["ts"]
+                    stages = rec.get("stages", {})
             if t_start is None or t_finish is None:
                 raise RuntimeError("shard stderr missing corpus events")
             windows.append((t_start, t_finish))
+            # per-shard stage stats into the artifact: the number is only
+            # interpretable with them (2026-08-20 diagnostic: two tunnel
+            # clients on ONE chip serialize — each shard's fetch_wait_s
+            # ballooned 0.7 → 28-33 s and the link split to 7.1 MB/s/shard,
+            # so 2-shard measured 5x WORSE than one process; see
+            # docs/DESIGN.md §10)
+            _LAST_2SHARD_STATS[f"shard{si}"] = {
+                k: stages[k]
+                for k in ("upload_busy_s", "fetch_wait_s", "link_mbps")
+                if k in stages
+            }
         wall = max(w[1] for w in windows) - min(w[0] for w in windows)
+        _LAST_2SHARD_STATS["union_wall_s"] = round(wall, 3)
         return n_files * seconds / 3600.0 / wall
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# per-shard stage breakdown of the last 2-shard run (artifact field)
+_LAST_2SHARD_STATS: dict = {}
 
 
 def _speechlike_batch(sr: int, seconds: float = 3.0, nb: int = 2):
@@ -776,6 +803,7 @@ def main(resume_path: str | None = None) -> None:
         "pyin_sweep": None, "pyin_sweep_16k": None, "masked_batch_64": None,
         "modspec_batch": None, "longform_1h_s": None, "corpus_sweep": None,
         "corpus_stats": None, "corpus_2shard": None,
+        "corpus_2shard_stats": None,
     }
     fields.update(state.get("fields", {}))
     # completed: label → outcome of every _try that actually ran (None =
@@ -955,6 +983,8 @@ def main(resume_path: str | None = None) -> None:
         fields["corpus_stats"] = dict(_LAST_CORPUS_STATS)
     fields["corpus_2shard"] = _try(
         _corpus_2shard_throughput, _label="corpus_2shard")
+    if _LAST_2SHARD_STATS:
+        fields["corpus_2shard_stats"] = dict(_LAST_2SHARD_STATS)
     _emit()
 
 
