@@ -439,7 +439,7 @@ def _corpus_2shard_throughput(n_files: int = 128, seconds: float = 30.0) -> floa
         # not pay either (it benches in-process). The union still charges
         # any serialization between the shards.
         windows = []
-        _LAST_2SHARD_STATS.clear()
+        stats2: dict = {}
         for si, ep in enumerate(err_paths):
             with open(ep) as ef:
                 err = ef.read()
@@ -464,13 +464,17 @@ def _corpus_2shard_throughput(n_files: int = 128, seconds: float = 30.0) -> floa
             # ballooned 0.7 → 28-33 s and the link split to 7.1 MB/s/shard,
             # so 2-shard measured 5x WORSE than one process; see
             # docs/DESIGN.md §10)
-            _LAST_2SHARD_STATS[f"shard{si}"] = {
+            stats2[f"shard{si}"] = {
                 k: stages[k]
                 for k in ("upload_busy_s", "fetch_wait_s", "link_mbps")
                 if k in stages
             }
         wall = max(w[1] for w in windows) - min(w[0] for w in windows)
-        _LAST_2SHARD_STATS["union_wall_s"] = round(wall, 3)
+        stats2["union_wall_s"] = round(wall, 3)
+        # publish only on success: a failed field must not leave
+        # partial per-shard stats in the artifact
+        _LAST_2SHARD_STATS.clear()
+        _LAST_2SHARD_STATS.update(stats2)
         return n_files * seconds / 3600.0 / wall
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -661,12 +665,19 @@ class _Watchdog:
     the artifact of record. Either way it ``os._exit``\\ s so the driver
     is never left hanging."""
 
-    def __init__(self, emit, timeout_s: float, handoff=None):
+    def __init__(self, emit, timeout_s: float, handoff=None, record_hang=None):
         import threading
 
         self.emit = emit
         self.timeout_s = timeout_s
         self.handoff = handoff
+        self.record_hang = record_hang
+        # set the instant the deadline expires: from then on the WATCHDOG
+        # owns the process outcome. A slow-but-alive main thread checks it
+        # and goes passive (no new device work, no competing artifact line
+        # while the resume child runs — the 2-shard measurement in DESIGN
+        # §10 shows two clients on one chip corrupt both sets of numbers).
+        self.fired = threading.Event()
         self.deadline: float | None = None
         self.field = ""
         self._lock = threading.Lock()
@@ -692,8 +703,16 @@ class _Watchdog:
             with self._lock:
                 d, field = self.deadline, self.field
             if d is not None and time.monotonic() > d:
+                self.fired.set()
                 print(f"# field {field!r} hung > {self.timeout_s:.0f}s",
                       file=sys.stderr)
+                if self.record_hang is not None:
+                    try:
+                        # the hung field must appear in hung_fields on the
+                        # FALLBACK path too, not only via the child's state
+                        self.record_hang(field)
+                    except Exception:  # noqa: BLE001
+                        pass
                 handed_off = False
                 if self.handoff is not None:
                     try:
@@ -847,7 +866,8 @@ def main(resume_path: str | None = None) -> None:
         st = {
             "fields": fields, "completed": completed,
             "skip": sorted(skip | {hung_field}),
-            "hung": hung + [hung_field],
+            # the watchdog's record_hang already appended hung_field
+            "hung": hung if hung_field in hung else hung + [hung_field],
             "engine_fallbacks": engine_fallbacks,
         }
         with tempfile.NamedTemporaryFile(
@@ -862,10 +882,22 @@ def main(resume_path: str | None = None) -> None:
         env["MODMFCC_BENCH_BACKEND_TRIES"] = "3"
         print(f"# resuming remaining fields in a subprocess "
               f"(skip={st['skip']}, depth={depth - 1})", file=sys.stderr)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--resume", path],
-            stdout=subprocess.PIPE, text=True, env=env,
-        )
+        try:
+            # bounded: a child wedged OUTSIDE its own watchdog-armed
+            # regions (interpreter start against a degraded tunnel) must
+            # not leave this process hanging forever — that's the exact
+            # outcome the watchdog exists to prevent. On expiry
+            # subprocess.run kills the child; fall back to the partial
+            # artifact.
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--resume", path],
+                stdout=subprocess.PIPE, text=True, env=env,
+                timeout=float(os.environ.get(
+                    "MODMFCC_BENCH_RESUME_TIMEOUT", "7200")),
+            )
+        except subprocess.TimeoutExpired:
+            print("# resume child timed out; killed", file=sys.stderr)
+            return False
         line = next((l for l in r.stdout.strip().splitlines()
                      if l.startswith("{")), None)
         if line is None:
@@ -878,8 +910,18 @@ def main(resume_path: str | None = None) -> None:
     # deadline must clear a worst-case cold compile plus the run
     dog = _Watchdog(
         _emit, float(os.environ.get("MODMFCC_BENCH_FIELD_TIMEOUT", "1500")),
-        handoff=_handoff,
+        handoff=_handoff, record_hang=hung.append,
     )
+
+    def _yield_if_fired() -> None:
+        """Once the watchdog fired, IT owns the process outcome: a slow-
+        but-alive main thread must neither start new device work (it
+        would contend with the resume child on the one chip) nor print a
+        second artifact line. Park forever; the watchdog os._exits when
+        the handoff (or the partial emit) is done."""
+        if dog.fired.is_set():
+            while True:
+                time.sleep(60.0)
 
     if not _await_backend():
         # a dead remote backend HANGS jax calls (init blocks forever, no
@@ -890,11 +932,17 @@ def main(resume_path: str | None = None) -> None:
 
     # every field is guarded: a failure in any one must not sink the
     # artifact. A label in `skip` hung up the chain — never re-run it; a
-    # label in `completed` already ran in a parent — reuse its outcome.
+    # label in `completed` already ran in a parent OR in this process —
+    # reuse its outcome (a resume child must not repeat work the parent
+    # already settled, including settled-as-failed: `seeded` pins the
+    # parent's outcomes against the retry blocks' completed.pop).
+    seeded = frozenset(state.get("completed", {}))
+
     def _try(fn, *a, _label: str | None = None, **k):
         # arm with the artifact-field label, not fn.__name__ — six modes
         # share '_throughput' and a partial artifact must name the hung one
         label = _label or getattr(fn, "__name__", str(fn))
+        _yield_if_fired()
         if label in skip:
             return None
         if label in completed:
@@ -912,7 +960,8 @@ def main(resume_path: str | None = None) -> None:
 
     bf16 = _try(_throughput, "pallas_bf16", batch, seconds, n_super,
                 _label="bf16_headline")
-    if bf16 is None and "bf16_headline" not in skip:
+    if (bf16 is None and "bf16_headline" not in skip
+            and "bf16_headline" not in seeded):
         # the headline: re-probe the backend (a mid-run tunnel flap
         # poisons this process's cached backend only for NEW compiles, and
         # a subprocess probe tells us whether waiting can help) and retry
@@ -954,7 +1003,7 @@ def main(resume_path: str | None = None) -> None:
 
     def _try_engines(name, safe0, fn, *a, **k):
         got = _try(fn, *a, safe=safe0, _label=name, **k)
-        if got is None and not safe0 and name not in skip:
+        if got is None and not safe0 and name not in skip and name not in seeded:
             # drop the failed attempt's record or the retry short-circuits
             completed.pop(name, None)
             got = _try(fn, *a, safe=True, _label=name, **k)
@@ -985,6 +1034,7 @@ def main(resume_path: str | None = None) -> None:
         _corpus_2shard_throughput, _label="corpus_2shard")
     if _LAST_2SHARD_STATS:
         fields["corpus_2shard_stats"] = dict(_LAST_2SHARD_STATS)
+    _yield_if_fired()
     _emit()
 
 
