@@ -17,6 +17,16 @@ __all__ = ["log_event", "ThroughputMeter", "profile_trace"]
 
 
 def log_event(event: str, **fields) -> None:
+    # MODMFCC_LOG_SILENT: bench.py's artifact contract is "the last JSON
+    # line of combined stdout+stderr is the artifact" (that is what the
+    # driver's tail parser takes — round 4's artifact of record was a
+    # corpus.finish event because these records landed after the kill).
+    # bench silences in-process events; its shard SUBPROCESSES keep theirs
+    # (their stderr goes to files bench parses for the sweep windows).
+    import os
+
+    if os.environ.get("MODMFCC_LOG_SILENT"):
+        return
     rec = {"ts": round(time.time(), 3), "event": event, **fields}
     print(json.dumps(rec), file=sys.stderr, flush=True)
 
