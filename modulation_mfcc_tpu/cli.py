@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ver.add_argument("--wav", help="optional WAV to verify on (default: synthetic)")
     ver.add_argument("--seconds", type=float, default=2.0,
                      help="synthetic signal length (ignored with --wav)")
+    ver.add_argument("--sr", type=int, default=10_000,
+                     help="analysis sample rate for every surface "
+                          "(default: the reference's 10000; the bench "
+                          "flagship runs 16000)")
 
     sub.add_parser("info", help="print device/mesh info")
 

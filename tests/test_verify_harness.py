@@ -19,3 +19,16 @@ def test_verify_all_surfaces_pass(capsys):
         "pyin", "envelope_rms", "envelope_hilbert", "envelope_rmspraat",
         "formants", "padded_batch",
     }
+
+
+def test_verify_all_surfaces_pass_16k(capsys):
+    """--sr 16000 (r4 verdict #5): the bench flagship rate must be a
+    runnable harness, not only the reference's 10 kHz — pyin's near-tie
+    decode behavior is measured rate-dependent."""
+    rc = main(["verify", "--seconds", "1.2", "--sr", "16000"])
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    overall = [l for l in lines if "overall_pass" in l]
+    assert rc == 0, out
+    assert overall and overall[0]["overall_pass"] is True
+    assert sum(1 for l in lines if "surface" in l) == 11
