@@ -82,7 +82,46 @@ def _glottal_train(f0: np.ndarray, jitter: float, shimmer: float,
     return out
 
 
-def synthesize(sr: int = SR) -> np.ndarray:
+# Fixture FAMILY (round-4 verdict #6: "a fixture family, not a fixture").
+# Every variant reuses the same seeded synthesis with register/condition
+# transforms; "default" is BIT-IDENTICAL to the original checked-in WAV
+# (the provenance test pins it). Values: f0 scale, formant scale, creaky
+# final segment, babble SNR dB (None = off), output peak, source rate.
+VARIANTS: dict = {
+    # the original: mid-register adult, breathy offset
+    "default": dict(f0=1.0, fm=1.0, creaky=False, babble=None, peak=0.55),
+    # low-F0 male register with a CREAKY offset (strong jitter, f0 droop)
+    "male_low": dict(f0=0.72, fm=0.88, creaky=True, babble=None, peak=0.55),
+    # high-F0 child register (short vocal tract)
+    "child_high": dict(f0=2.2, fm=1.25, creaky=False, babble=None, peak=0.55),
+    # default speech buried in 10 dB SNR babble-like multi-voice noise
+    "babble_10db": dict(f0=1.0, fm=1.0, creaky=False, babble=10.0, peak=0.55),
+    # near-clipping take (int16 headroom ~0.13 dB)
+    "near_clip": dict(f0=1.0, fm=1.0, creaky=False, babble=None, peak=0.985),
+}
+
+
+def _babble(n: int, sr: float, rng: np.random.Generator) -> np.ndarray:
+    """Babble-like masker: four independent glottal-source 'voices', each
+    through two fixed resonators with its own slow AM — speech-shaped and
+    speech-modulated, which is what stresses voicing decisions (white noise
+    is the easy case)."""
+    t = np.arange(n) / sr
+    out = np.zeros(n)
+    for v in range(4):
+        f0 = (95.0 + 40.0 * v) * (1.0 + 0.05 * np.sin(2 * np.pi * (0.9 + 0.4 * v) * t))
+        src = _glottal_train(f0, jitter=0.02, shimmer=0.1, rng=rng, sr=sr)
+        y = src
+        for fc, bw in ((450.0 + 120.0 * v, 120.0), (1400.0 + 250.0 * v, 220.0)):
+            y = _resonator_tv(y, np.full(n, fc), np.full(n, bw), sr)
+        am = 0.4 + 0.6 * (0.5 + 0.5 * np.sin(2 * np.pi * (2.1 + 0.7 * v) * t + v))
+        out += am * y / max(np.max(np.abs(y)), 1e-12)
+    return out
+
+
+def synthesize(sr: int = SR, variant: str = "default") -> np.ndarray:
+    par = VARIANTS[variant]
+    f0s, fms = float(par["f0"]), float(par["fm"])
     rng = np.random.default_rng(SEED)
     dur = 2.2
     n = int(dur * sr)
@@ -108,12 +147,20 @@ def synthesize(sr: int = SR) -> np.ndarray:
     # slow intonation wander on top of the per-segment contour
     wander = 2.0 * np.sin(2 * np.pi * 1.7 * t) + 1.2 * np.sin(2 * np.pi * 4.3 * t + 1.0)
     sig = np.zeros(n)
+    last_t0 = voiced[-1][0]
     for (t0, t1, fm_on, fm_tgt, f0a, f0b, breathy) in voiced:
         i0, i1 = int(t0 * sr), int(t1 * sr)
         m = i1 - i0
         seg_t = np.linspace(0.0, 1.0, m)
-        f0 = f0a + (f0b - f0a) * seg_t + wander[i0:i1]
-        src = _glottal_train(f0, jitter=0.008, shimmer=0.05, rng=rng, sr=sr)
+        creaky_seg = par["creaky"] and t0 == last_t0
+        f0 = (f0a + (f0b - f0a) * seg_t) * f0s + wander[i0:i1] * f0s
+        jit, shim = 0.008, 0.05
+        if creaky_seg:
+            # creaky offset: f0 droops toward ~0.55x with strong per-period
+            # jitter and shimmer (aperiodic pulses, the Praat-hard case)
+            f0 = f0 * (1.0 - 0.45 * seg_t**2)
+            jit, shim = 0.05, 0.15
+        src = _glottal_train(f0, jitter=jit, shimmer=shim, rng=rng, sr=sr)
         # aspiration noise mixed into the source; ramps up for breathy offset
         asp = 0.05 + (0.55 * seg_t**2 if breathy else 0.0)
         src = src * (1.0 - 0.5 * asp) + asp * 0.3 * rng.standard_normal(m)
@@ -121,9 +168,9 @@ def synthesize(sr: int = SR) -> np.ndarray:
         y = src
         glide = np.minimum(seg_t / (0.040 / max(t1 - t0, 1e-9)), 1.0)
         for k in range(4):
-            f_on = fm_on[0][k]
-            freq = f_on + (fm_tgt[0][k] - f_on) * glide
-            bw = np.full(m, float(fm_tgt[1][k]))
+            f_on = fm_on[0][k] * fms
+            freq = f_on + (fm_tgt[0][k] * fms - f_on) * glide
+            bw = np.full(m, float(fm_tgt[1][k]) * fms)
             y = _resonator_tv(y, freq, bw, sr)
         amp = _ramp(m, int(0.030 * sr), int(0.050 * sr))
         if breathy:
@@ -157,10 +204,19 @@ def synthesize(sr: int = SR) -> np.ndarray:
     burst = band_noise(m, 300.0, 2000.0) * _ramp(m, 3, m // 2)
     sig[i0:i0 + m] += 0.40 * burst / max(np.max(np.abs(burst)), 1e-12)
 
+    # --- babble masker at the requested SNR (variant) -----------------------
+    if par["babble"] is not None:
+        bab = _babble(n, sr, np.random.default_rng(SEED + 7))
+        act = np.abs(sig) > 0.02 * np.max(np.abs(sig))  # speech-active frames
+        p_sig = float(np.mean(sig[act] ** 2))
+        p_bab = float(np.mean(bab[act] ** 2))
+        bab *= np.sqrt(p_sig / p_bab / 10.0 ** (par["babble"] / 10.0))
+        sig = sig + bab
+
     # --- room noise floor ≈ -55 dB vs speech peak ---------------------------
     sig += 1.5e-3 * rng.standard_normal(n)
 
-    sig = 0.55 * sig / np.max(np.abs(sig))
+    sig = par["peak"] * sig / np.max(np.abs(sig))
     return sig
 
 

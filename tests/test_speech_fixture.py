@@ -50,3 +50,55 @@ def test_verify_all_surfaces_on_speech(capsys):
     # all-unvoiced would silently weaken every pitch surface)
     assert per_surface["pitch_ac"]["n_voiced"] > 0
     assert per_surface["pitch_ac"]["n_unvoiced"] > 0
+
+
+import pytest  # noqa: E402
+
+SURFACES = {
+    "mod_cepstr", "intensity", "pitch_ac", "pitch_cc", "minmax_quant",
+    "pyin", "envelope_rms", "envelope_hilbert", "envelope_rmspraat",
+    "formants", "padded_batch",
+}
+
+
+def _run_harness_on(path, capsys):
+    rc = main(["verify", "--wav", str(path)])
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    per_surface = {l["surface"]: l for l in lines if "surface" in l}
+    assert set(per_surface) == SURFACES
+    assert rc == 0, {k: v for k, v in per_surface.items() if not v["pass"]}
+    return per_surface
+
+
+@pytest.mark.parametrize(
+    "variant", ["male_low", "child_high", "babble_10db", "near_clip"]
+)
+def test_verify_surfaces_on_fixture_family(variant, tmp_path, capsys):
+    """r4 verdict #6: a fixture FAMILY, not a fixture — low-F0 creaky male,
+    high-F0 child, 10 dB-SNR babble, and a near-clipping take, all through
+    the full parity harness (generated deterministically at test time from
+    the same provenance-pinned synthesizer)."""
+    import scipy.io.wavfile as wavfile
+
+    from tests.fixtures.generate_utterance import SR, synthesize
+
+    sig = synthesize(variant=variant)
+    p = tmp_path / f"utt_{variant}.wav"
+    wavfile.write(str(p), SR, np.round(sig * 32767.0).astype(np.int16))
+    per_surface = _run_harness_on(p, capsys)
+    assert per_surface["pitch_ac"]["n_voiced"] > 0
+    assert per_surface["pitch_ac"]["n_unvoiced"] > 0
+
+
+def test_verify_surfaces_on_44k1_source(tmp_path, capsys):
+    """A 44.1 kHz-sourced recording: load_channel resamples to the analysis
+    rate, putting the resampler inside the parity path (r4 verdict #6)."""
+    import scipy.io.wavfile as wavfile
+
+    from tests.fixtures.generate_utterance import synthesize
+
+    sig = synthesize(sr=44_100)
+    p = tmp_path / "utt_44k1.wav"
+    wavfile.write(str(p), 44_100, np.round(sig * 32767.0).astype(np.int16))
+    _run_harness_on(p, capsys)
