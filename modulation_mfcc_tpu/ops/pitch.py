@@ -419,14 +419,45 @@ def _pitch_ac_jit(
 
     lags = jnp.arange(lag_max + 1)
     in_range = (lags >= lag_min) & (lags <= lag_max)
+    # True right neighbor AT the band edge (round-5 creaky-register fix):
+    # Praat registers a maximum at lag_max only when r truly FALLS there
+    # (oracle.py:506 reads r[lag_max+1]); a −inf pad fabricated an edge
+    # candidate whenever r was still RISING — i.e. exactly when the real
+    # peak lies beyond the band because f0 sits below the floor. Measured:
+    # the creaky-offset fixture decoded 6 frames voiced at sr/lag_max
+    # (79.4 Hz < the 80.1 Hz floor) where the oracle is unvoiced.
+    if method == "ac":
+        r_edge = r_full[..., lag_max + 1]
+    else:
+        # cc: the shifted window at lag_max+1 needs ONE sample past the
+        # frame span — read it per frame with a strided slice (starts are
+        # a static grid) and zero it where it leaves the signal, exactly
+        # like the oracle's zero-filled shifted windows.
+        xgp = jnp.pad(xg, [(0, 0)] * (xg.ndim - 1) + [(0, 1)])
+        lim = start0 + span + (nf - 1) * hop_s + 1
+        ext_raw = jax.lax.slice_in_dim(
+            xgp, start0 + span, lim, stride=hop_s, axis=-1
+        )  # [NF]
+        idx_ext = jnp.asarray(start0 + span + np.arange(nf) * hop_s)
+        lim_n = valid_len if valid_len is not None else n
+        ext_adj = jnp.where(idx_ext < lim_n, ext_raw - local_mean[..., 0], 0.0)
+        cross_e = (
+            jnp.sum(base[..., : nw - 1] * fr[..., lag_max + 1 :], axis=-1)
+            + base[..., -1] * ext_adj
+        )
+        e_ext = (total[..., -1] - total[..., lag_max + 1]) + ext_adj**2
+        r_edge = cross_e / jnp.sqrt(jnp.maximum(e_tau[..., 0] * e_ext, 1e-30))
     # local maxima of r over lag
     rm = jnp.pad(r, ((0, 0), (1, 1)), constant_values=-jnp.inf)
-    is_max = (r > rm[..., :-2]) & (r >= rm[..., 2:]) & in_range[None, :]
+    r_right = jnp.concatenate([r[..., 1:], r_edge[..., None]], axis=-1)
+    is_max = (r > rm[..., :-2]) & (r >= r_right) & in_range[None, :]
 
     # parabolic refinement for the candidate SELECTION score (cheap over all
     # lags); the selected candidates get the full sinc refinement below
+    # (rn uses the true band-edge neighbor too — the old roll wrapped r[0]
+    # into the lag_max slot)
     rp = jnp.roll(r, 1, axis=-1)
-    rn = jnp.roll(r, -1, axis=-1)
+    rn = r_right
     denom = rp - 2 * r + rn
     delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (rp - rn) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
