@@ -158,7 +158,7 @@ def _mxu(x, w_ref, algorithm: str):
 
 
 def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple,
-              scale: float = 1.0):
+              scale: float = 1.0, rows_t: bool = False):
     """Stage the pipelined main+tail blocks into one contiguous scratch and
     build frames [blkf, K] from shifted sublane slices over the trimmed
     window support (frames[i, k·hop:(k+1)·hop] = rows[i+k, :hop]). One
@@ -166,12 +166,13 @@ def _assemble(main_ref, tail_ref, rows_vmem, blkf: int, widths: tuple,
     mismatched sublane offsets across two buffers, and the scratch stays
     f32 (bf16 shifted-sublane concat views do not lower on real Mosaic —
     see the row_dtype comment in fused_mel_frontend)."""
-    _stage_rows(main_ref, tail_ref, rows_vmem, blkf, scale)
+    _stage_rows(main_ref, tail_ref, rows_vmem, blkf, scale, rows_t)
     parts = [rows_vmem[k : k + blkf, : widths[k]] for k in range(len(widths))]
     return jnp.concatenate(parts, axis=-1)
 
 
-def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int, scale: float = 1.0):
+def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int, scale: float = 1.0,
+                rows_t: bool = False):
     """Copy the block's main+tail hop-rows into the staging scratch.
 
     The input rows may be narrower than the scratch (hop < 128: the lane
@@ -185,13 +186,23 @@ def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int, scale: float = 1.0):
     int16 hop-row inputs (the rows-input contract) carry raw PCM values
     and stage as v·2⁻¹⁵, an EXACT f32 product (power-of-two scale, int16
     values exact in f32), so every downstream number matches the flat-path
-    f32 values bit for bit."""
+    f32 values bit for bit.
+
+    ``rows_t``: the blocks arrive TRANSPOSED ([hop, blkf] — the flat_t
+    layout, which avoids the 80→128 lane pad in HBM: [B, hop, rows] packs
+    the minor dim full) and are transposed back during staging (Mosaic 2D
+    transpose measured ~free at this shape class, same mechanism as
+    _tail_kernel_t). The staged scratch — and every number after it — is
+    identical to the plain layout."""
     mv = main_ref[0].astype(rows_vmem.dtype)
     tv = tail_ref[0].astype(rows_vmem.dtype)
+    if rows_t:
+        mv = mv.T
+        tv = tv.T
     if scale != 1.0:
         mv = mv * scale
         tv = tv * scale
-    hw = main_ref.shape[-1]
+    hw = mv.shape[-1]
     if hw < rows_vmem.shape[-1]:
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init_pad_lanes():
@@ -313,13 +324,15 @@ def _i24_reim(frames, s, inv, wa_ref, wb_ref, wc_ref):
 
 def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
                 out_ref, bmax_ref, rows_vmem, *, blkf: int, bins_pad: int,
-                widths: tuple, nf: int, out_dtype, row_scale: float = 1.0):
+                widths: tuple, nf: int, out_dtype, row_scale: float = 1.0,
+                rows_t: bool = False):
     """Fixed-point frontend step (algorithm='i24', see module docstring and
     :func:`_i24_reim`). ``sc_ref[b] = (s_b, 1/(s_b·Sw))`` carries the
     per-utterance quantization scale in and the true scale back out. The
     mel projection runs as x3 (non-negative operands keep the 2⁻¹⁷ split
     error relative)."""
-    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths, row_scale)
+    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths, row_scale,
+                       rows_t)
     b = pl.program_id(0)
     reim = _i24_reim(frames, sc_ref[b, 0], sc_ref[b, 1], wa_ref, wb_ref, wc_ref)
     _emit(reim, mel_ref, out_ref, bmax_ref, mel_alg="x3", out_dtype=out_dtype,
@@ -329,7 +342,8 @@ def _kernel_i24(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref, mel_ref,
 def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
                      mel_ref, out_ref, bmax_ref, rows_vmem, reim_vmem, *,
                      blkf: int, nj: int, bins_pad: int, widths: tuple,
-                     nf: int, out_dtype, row_scale: float = 1.0):
+                     nf: int, out_dtype, row_scale: float = 1.0,
+                     rows_t: bool = False):
     """Two-stage pipelined i24 frontend (same schedule as :func:`_kernel_pipe`):
     stage A quantizes/digit-splits block j and runs the three int8 dots +
     f32 recombination into the parity-(j%2) reim scratch half; stage B does
@@ -348,7 +362,7 @@ def _kernel_i24_pipe(main_ref, tail_ref, sc_ref, wa_ref, wb_ref, wc_ref,
     @pl.when(j < nj)
     def _stage_a():
         frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
-                           row_scale)
+                           row_scale, rows_t)
         b = pl.program_id(0)
         reim_vmem[j % 2] = _i24_reim(
             frames, sc_ref[b, 0], sc_ref[b, 1], wa_ref, wb_ref, wc_ref
@@ -409,13 +423,14 @@ def _i16_reim(frames, s, inv, corr_ref, wa_ref, wb_ref, wc_ref):
 def _kernel_i16(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref, wc_ref,
                 mel_ref, out_ref, bmax_ref, rows_vmem, *, blkf: int,
                 bins_pad: int, widths: tuple, nf: int, out_dtype,
-                row_scale: float = 1.0):
+                row_scale: float = 1.0, rows_t: bool = False):
     """16-bit fixed-point frontend step (algorithm='i16', see
     :func:`_i16_reim`). Exact for int16-origin audio (the corpus sweep's
     upload format) at any level; arbitrary f32 audio is 16-bit-quantized
     relative to the utterance max first (i24 is the full-precision
     fixed-point mode)."""
-    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths, row_scale)
+    frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths, row_scale,
+                       rows_t)
     b = pl.program_id(0)
     reim = _i16_reim(frames, sc_ref[b, 0], sc_ref[b, 1], corr_ref,
                      wa_ref, wb_ref, wc_ref)
@@ -427,7 +442,7 @@ def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
                      wc_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
                      reim_vmem, *, blkf: int, nj: int, bins_pad: int,
                      widths: tuple, nf: int, out_dtype,
-                     row_scale: float = 1.0):
+                     row_scale: float = 1.0, rows_t: bool = False):
     """Two-stage pipelined :func:`_kernel_i16` (schedule of _kernel_pipe)."""
     j = pl.program_id(1)
 
@@ -440,7 +455,7 @@ def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
     @pl.when(j < nj)
     def _stage_a():
         frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
-                           row_scale)
+                           row_scale, rows_t)
         b = pl.program_id(0)
         reim_vmem[j % 2] = _i16_reim(
             frames, sc_ref[b, 0], sc_ref[b, 1], corr_ref, wa_ref, wb_ref,
@@ -451,10 +466,10 @@ def _kernel_i16_pipe(main_ref, tail_ref, sc_ref, corr_ref, wa_ref, wb_ref,
 def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
             *, blkf: int, hop: int, lane: int, bins_pad: int, widths: tuple,
             nf: int, algorithm: str, out_dtype, frame_mode: str = "concat",
-            row_scale: float = 1.0):
+            row_scale: float = 1.0, rows_t: bool = False):
     if frame_mode == "concat":
         frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
-                           row_scale)
+                           row_scale, rows_t)
         reim = _mxu(frames, wri_ref, algorithm)
     else:
         # frames @ W == Σ_k rows[k:k+blkf] @ W_k (W_k = rows of W for hop-
@@ -476,7 +491,7 @@ def _kernel(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref, rows_vmem,
 def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
                  rows_vmem, reim_vmem, *, blkf: int, nj: int, bins_pad: int,
                  widths: tuple, nf: int, algorithm: str, out_dtype,
-                 row_scale: float = 1.0):
+                 row_scale: float = 1.0, rows_t: bool = False):
     """Two-stage software-pipelined frontend step (grid j ∈ [0, nj]):
 
       stage A (j < nj):  assemble frames for block j → windowed-DFT matmul
@@ -503,7 +518,7 @@ def _kernel_pipe(main_ref, tail_ref, wri_ref, mel_ref, out_ref, bmax_ref,
     @pl.when(j < nj)
     def _stage_a():
         frames = _assemble(main_ref, tail_ref, rows_vmem, blkf, widths,
-                           row_scale)
+                           row_scale, rows_t)
         reim_vmem[j % 2] = _mxu(frames, wri_ref, algorithm)
 
 
@@ -524,6 +539,7 @@ def fused_mel_frontend(
     algorithm: str | None = None,
     fold: bool | None = None,
     pipeline: bool = False,
+    flat_t: bool = False,
     n_samples: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(mel [B, NF_pad, n_mels], block_maxes [B, nj, 8, 128]) for audio [B, T].
@@ -566,6 +582,15 @@ def fused_mel_frontend(
     step on disjoint scratch halves, freeing the scheduler to overlap MXU
     and VPU work the plain kernels serialize. Bit-identical outputs for
     every algorithm (concat frame mode, no fold).
+
+    ``flat_t`` (flat-input concat mode only) relayouts the padded audio to
+    TRANSPOSED hop rows [B, hop, rows_total] in XLA and transposes back
+    during the VMEM staging copy (docs/DESIGN.md §8 round 5): the plain
+    [B, rows, hop] layout lane-pads the hop-wide minor dim to 128
+    physically (hop=80 → 1.6× audio bytes through HBM on the relayout
+    write AND on every kernel block fetch), while rows_total as the minor
+    dim packs full. Staged scratch and all outputs are bit-identical to
+    the plain path; a hardware A/B knob (MODMFCC_FLAT_T).
     """
     if algorithm is None:
         algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
@@ -609,6 +634,11 @@ def fused_mel_frontend(
         )
     if pipeline and (fold or frame_mode != "concat"):
         raise ValueError("pipeline=True requires concat frame mode, no fold")
+    if flat_t and (rows_in or fold or frame_mode != "concat"):
+        raise ValueError(
+            "flat_t=True requires flat audio input, concat frame mode, no "
+            "fold (rows input already has its layout at rest)"
+        )
     if fold:
         if not fold_ok or algorithm in ("i24", "i16"):
             raise ValueError("fold=True unsupported for this geometry/algorithm")
@@ -682,6 +712,12 @@ def fused_mel_frontend(
             # accuracy)
             audio_p = audio_p.astype(jnp.bfloat16)
         audio_p = audio_p.reshape(bsz, rows_total, hop)
+        if flat_t:
+            # transposed hop rows [B, hop, rows_total]: the relayout write
+            # and every kernel fetch move 1.0× audio bytes instead of the
+            # plain layout's physical-lane-pad 128/hop× (see docstring);
+            # _stage_rows transposes back during the VMEM staging copy
+            audio_p = jnp.swapaxes(audio_p, 1, 2)
     # NO explicit lane pad hop→128: the TPU physical layout of the hop-wide
     # minor dim is lane-padded anyway, the kernels only ever read the first
     # ``hop`` lanes of each staged row (widths ≤ hop), and the scratch's
@@ -810,7 +846,7 @@ def fused_mel_frontend(
             for op in extra_ops[1:]
         ]
         kw = dict(blkf=blkf, bins_pad=bins_pad, widths=widths, nf=nf,
-                  out_dtype=out_dtype, row_scale=row_scale)
+                  out_dtype=out_dtype, row_scale=row_scale, rows_t=flat_t)
         if pipeline:
             kw["nj"] = nj
         return _launch(
@@ -818,6 +854,7 @@ def fused_mel_frontend(
             extra_ops=extra_ops, extra_specs=extra_specs, bsz=bsz, nj=nj,
             blkf=blkf, lane=lane, n_mels=n_mels, nf_pad=nf_pad,
             out_dtype=out_dtype, row_dtype=jnp.float32, bins_pad=bins_pad,
+            rows_t=flat_t,
         )
 
     wri_in = _stack_weights(wri_p, algorithm)
@@ -839,24 +876,25 @@ def fused_mel_frontend(
         kern = partial(
             _kernel_pipe, blkf=blkf, nj=nj, bins_pad=bins_pad, widths=widths,
             nf=nf, algorithm=algorithm, out_dtype=out_dtype,
-            row_scale=row_scale,
+            row_scale=row_scale, rows_t=flat_t,
         )
     else:
         kern = partial(
             _kernel, blkf=blkf, hop=hop, lane=lane, bins_pad=bins_pad,
             widths=widths, nf=nf, algorithm=algorithm, out_dtype=out_dtype,
-            frame_mode=frame_mode, row_scale=row_scale,
+            frame_mode=frame_mode, row_scale=row_scale, rows_t=flat_t,
         )
     return _launch(
         kern, pipelined=pipeline, audio_p=audio_p, extra_ops=extra_ops,
         extra_specs=extra_specs, bsz=bsz, nj=nj, blkf=blkf, lane=lane,
         n_mels=n_mels, nf_pad=nf_pad, out_dtype=out_dtype,
-        row_dtype=row_dtype, bins_pad=bins_pad,
+        row_dtype=row_dtype, bins_pad=bins_pad, rows_t=flat_t,
     )
 
 
 def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
-            blkf, lane, n_mels, nf_pad, out_dtype, row_dtype, bins_pad):
+            blkf, lane, n_mels, nf_pad, out_dtype, row_dtype, bins_pad,
+            rows_t: bool = False):
     """Build and run one frontend pallas_call — the single home of the
     grid/BlockSpec geometry shared by every algorithm (code-review r3s6:
     this was triplicated and would silently diverge under maintenance).
@@ -871,15 +909,28 @@ def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
     pipelined two-parity reim buffer."""
     tail_stride = blkf // _TAIL_ROWS
     row_w = audio_p.shape[-1]  # hop-wide rows: the lane pad is implicit
+    # rows_t: audio_p is TRANSPOSED hop rows [B, hop, rows_total] — block
+    # windows move along the (physically packed) minor rows axis and the
+    # kernel transposes back during VMEM staging (_stage_rows rows_t=True).
+    # Block-index helpers: (rows-axis window index) → 3-D block index.
+    if rows_t:
+        hop_w = audio_p.shape[1]
+        main_shape = (1, hop_w, blkf)
+        tail_shape = (1, hop_w, _TAIL_ROWS)
+        _ix = lambda b, r: (b, 0, r)  # noqa: E731
+    else:
+        main_shape = (1, blkf, row_w)
+        tail_shape = (1, _TAIL_ROWS, row_w)
+        _ix = lambda b, r: (b, r, 0)  # noqa: E731
     if pipelined:
         grid = (bsz, nj + 1)
         main_spec = pl.BlockSpec(
-            (1, blkf, row_w), lambda b, j: (b, jnp.minimum(j, nj - 1), 0),
+            main_shape, lambda b, j: _ix(b, jnp.minimum(j, nj - 1)),
             memory_space=pltpu.VMEM,
         )
         tail_spec = pl.BlockSpec(
-            (1, _TAIL_ROWS, row_w),
-            lambda b, j: (b, jnp.minimum(j + 1, nj) * tail_stride, 0),
+            tail_shape,
+            lambda b, j: _ix(b, jnp.minimum(j + 1, nj) * tail_stride),
             memory_space=pltpu.VMEM,
         )
         out_specs = [
@@ -899,11 +950,11 @@ def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
     else:
         grid = (bsz, nj)
         main_spec = pl.BlockSpec(
-            (1, blkf, row_w), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+            main_shape, lambda b, j: _ix(b, j), memory_space=pltpu.VMEM
         )
         tail_spec = pl.BlockSpec(
-            (1, _TAIL_ROWS, row_w),
-            lambda b, j: (b, (j + 1) * tail_stride, 0),
+            tail_shape,
+            lambda b, j: _ix(b, (j + 1) * tail_stride),
             memory_space=pltpu.VMEM,
         )
         out_specs = [
@@ -1178,7 +1229,7 @@ def fused_mfcc(
     # this trace-time read cannot go stale (pallas/knobs.py).
     from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
 
-    blkf, pipeline = frontend_knobs()
+    blkf, pipeline, flat_t = frontend_knobs()
     mel, bmax = fused_mel_frontend(
         audio,
         sr=sr,
@@ -1192,6 +1243,7 @@ def fused_mfcc(
         algorithm=algorithm,
         out_dtype=jnp.bfloat16 if algorithm == "bf16" else jnp.float32,
         pipeline=pipeline,
+        flat_t=flat_t and audio.ndim != 3,
         n_samples=n_samples,
     )
     # per-utterance top_db peak: log10 is monotone, so peak_db =

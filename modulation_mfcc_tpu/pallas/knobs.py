@@ -16,19 +16,25 @@ import os
 __all__ = ["frontend_knobs", "tracker_knobs"]
 
 
-def frontend_knobs() -> tuple[int, bool]:
-    """(blkf, pipeline) from MODMFCC_BLKF / MODMFCC_FRONTEND_PIPE.
+def frontend_knobs() -> tuple[int, bool, bool]:
+    """(blkf, pipeline, flat_t) from MODMFCC_BLKF / MODMFCC_FRONTEND_PIPE /
+    MODMFCC_FLAT_T.
 
     blkf granularity (multiple of the 16-row tail buffer) is validated by
     fused_mel_frontend, not silently clamped here — a skewed knob sweep is
     worse than an error. Positivity IS checked here: 0/negative values
     would otherwise surface as a ZeroDivisionError / shape garbage deep in
-    the kernel launch."""
+    the kernel launch.
+
+    flat_t selects the TRANSPOSED flat-path staging (audio relayouted to
+    [B, hop, rows] — no 80→128 lane pad in HBM, in-kernel transpose during
+    VMEM staging; docs/DESIGN.md §8 round 5)."""
     blkf = int(os.environ.get("MODMFCC_BLKF", "1024"))
     if blkf <= 0:
         raise ValueError(f"MODMFCC_BLKF must be a positive multiple of 16, got {blkf}")
     pipeline = os.environ.get("MODMFCC_FRONTEND_PIPE", "0") == "1"
-    return blkf, pipeline
+    flat_t = os.environ.get("MODMFCC_FLAT_T", "0") == "1"
+    return blkf, pipeline, flat_t
 
 
 def tracker_knobs() -> tuple[str, str, str]:

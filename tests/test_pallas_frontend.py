@@ -391,7 +391,7 @@ def test_blkf_validation(monkeypatch):
         with pytest.raises(ValueError, match="positive multiple"):
             frontend_knobs()
     monkeypatch.setenv("MODMFCC_BLKF", "24")  # positive but not 16-aligned
-    blkf, _ = frontend_knobs()  # granularity is the kernel's check
+    blkf, _, _ = frontend_knobs()  # granularity is the kernel's check
     assert blkf == 24
 
 
@@ -565,3 +565,44 @@ def test_rows_input_validation(pcm16):
     with pytest.raises(ValueError, match="pallas"):
         mfcc_trajectories(rows, cfg, spectrum="fft",
                           n_samples=pcm16.shape[-1])
+
+
+@pytest.mark.parametrize("algorithm", ["f32", "bf16", "i24", "i16"])
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_flat_t_bit_identical(algorithm, pipeline):
+    """flat_t (transposed flat staging, MODMFCC_FLAT_T — the §8 round-5
+    relayout lever) == plain layout BITWISE in every algorithm, plain and
+    pipelined: the staged VMEM scratch is identical by construction, so any
+    difference is a BlockSpec/transpose indexing bug."""
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32768, (2, 9_000)).astype(np.int16)
+    a = jnp.asarray(pcm.astype(np.float32) / 32768.0)
+    kw = dict(sr=16_000.0, n_fft=512, hop=80, win_length=400, n_mels=128,
+              fmin=100.0, fmax=8000.0, algorithm=algorithm, blkf=64,
+              pipeline=pipeline)
+    with pltpu.force_tpu_interpret_mode():
+        mel_t, bmax_t = fused_mel_frontend(a, flat_t=True, **kw)
+        mel_u, bmax_u = fused_mel_frontend(a, flat_t=False, **kw)
+    np.testing.assert_array_equal(np.asarray(mel_t), np.asarray(mel_u))
+    np.testing.assert_array_equal(np.asarray(bmax_t), np.asarray(bmax_u))
+
+
+def test_flat_t_validation(pcm16):
+    rows, _ = _rows_and_flat(pcm16)
+    from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
+
+    with pytest.raises(ValueError, match="flat_t"):
+        fused_mel_frontend(rows, sr=16_000.0, hop=80, win_length=400,
+                           fmax=8000.0, flat_t=True,
+                           n_samples=pcm16.shape[-1])
+
+
+def test_flat_t_knob(monkeypatch):
+    from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+
+    monkeypatch.setenv("MODMFCC_FLAT_T", "1")
+    assert frontend_knobs()[2] is True
+    monkeypatch.delenv("MODMFCC_FLAT_T")
+    assert frontend_knobs()[2] is False
