@@ -102,3 +102,22 @@ def test_verify_surfaces_on_44k1_source(tmp_path, capsys):
     p = tmp_path / "utt_44k1.wav"
     wavfile.write(str(p), 44_100, np.round(sig * 32767.0).astype(np.int16))
     _run_harness_on(p, capsys)
+
+
+def test_verify_male_low_16k_native(tmp_path, capsys):
+    """The creaky low-F0 variant at its NATIVE 16 kHz through --sr 16000:
+    no resample in the path, the rate the bench flagship runs, and the
+    register that exposed the lag_max band-edge bug (ops/pitch.py r5)."""
+    import scipy.io.wavfile as wavfile
+
+    from tests.fixtures.generate_utterance import SR, synthesize
+
+    sig = synthesize(variant="male_low")
+    p = tmp_path / "utt_male_low.wav"
+    wavfile.write(str(p), SR, np.round(sig * 32767.0).astype(np.int16))
+    rc = main(["verify", "--wav", str(p), "--sr", "16000"])
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    per_surface = {l["surface"]: l for l in lines if "surface" in l}
+    assert set(per_surface) == SURFACES
+    assert rc == 0, {k: v for k, v in per_surface.items() if not v["pass"]}
