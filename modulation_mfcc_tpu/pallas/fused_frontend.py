@@ -87,6 +87,8 @@ __all__ = [
 ]
 
 _TAIL_ROWS = 16  # >= ceil(n_fft/hop) for all supported configs; 8-multiple
+_TAIL_W_T = 128  # flat_t tail-window width along the minor rows axis
+#                  (Mosaic requires minor-axis blocks in 128 multiples)
 
 
 def hop_rows_geometry(
@@ -197,8 +199,10 @@ def _stage_rows(main_ref, tail_ref, rows_vmem, blkf: int, scale: float = 1.0,
     mv = main_ref[0].astype(rows_vmem.dtype)
     tv = tail_ref[0].astype(rows_vmem.dtype)
     if rows_t:
+        # the tail block arrives _TAIL_W_T wide (Mosaic 128-lane minor-axis
+        # rule, see _grid_call); only its first _TAIL_ROWS columns are tail
         mv = mv.T
-        tv = tv.T
+        tv = tv[:, :_TAIL_ROWS].T
     if scale != 1.0:
         mv = mv * scale
         tv = tv * scale
@@ -590,7 +594,11 @@ def fused_mel_frontend(
     physically (hop=80 → 1.6× audio bytes through HBM on the relayout
     write AND on every kernel block fetch), while rows_total as the minor
     dim packs full. Staged scratch and all outputs are bit-identical to
-    the plain path; a hardware A/B knob (MODMFCC_FLAT_T).
+    the plain path (verified bitwise on v5e, all algorithms). Default via
+    MODMFCC_FLAT_T=auto: ON for the f32-staged algorithms (f32/x3/i24 —
+    measured +13% f32, median-win x3, wash i24), OFF for bf16/i16 whose
+    narrower staging dtypes already halve the lane-pad traffic and
+    measured slower transposed (v5e A/B 2026-08-20, DESIGN §8 round 5).
     """
     if algorithm is None:
         algorithm = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
@@ -663,6 +671,16 @@ def fused_mel_frontend(
     # divide blkf; a full spare block here cost 17% extra audio pad/traffic
     # on the 30 s flagship and +17% upload bytes on the rows contract, r4)
     rows_total = nj * blkf + _TAIL_ROWS
+    if flat_t:
+        if blkf % _TAIL_W_T:
+            raise ValueError(
+                f"flat_t=True requires blkf to be a multiple of {_TAIL_W_T} "
+                f"(128-wide tail windows step in blkf/{_TAIL_W_T} block "
+                f"units), got {blkf}"
+            )
+        # the transposed layout fetches _TAIL_W_T-wide tail windows (Mosaic
+        # minor-axis rule, _grid_call) — keep the last window in range
+        rows_total = nj * blkf + _TAIL_W_T
     total = rows_total * hop
     row_scale = 1.0
     if rows_in:
@@ -907,7 +925,6 @@ def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
     so the j=0 write — skipped by the kernel's stage guard — is never
     observed). Scratch: rows staging in the transport dtype, plus the
     pipelined two-parity reim buffer."""
-    tail_stride = blkf // _TAIL_ROWS
     row_w = audio_p.shape[-1]  # hop-wide rows: the lane pad is implicit
     # rows_t: audio_p is TRANSPOSED hop rows [B, hop, rows_total] — block
     # windows move along the (physically packed) minor rows axis and the
@@ -916,11 +933,19 @@ def _launch(kern, *, pipelined, audio_p, extra_ops, extra_specs, bsz, nj,
     if rows_t:
         hop_w = audio_p.shape[1]
         main_shape = (1, hop_w, blkf)
-        tail_shape = (1, hop_w, _TAIL_ROWS)
+        # Mosaic rejects a 16-wide minor-axis block ("last two dimensions
+        # ... divisible by 8 and 128" — measured on v5e, r5; interpret mode
+        # does not enforce it). Fetch a 128-wide tail window whose first
+        # _TAIL_ROWS columns are the tail rows; fused_mel_frontend pads the
+        # transposed rows axis to nj·blkf+_TAIL_W_T so the last window is
+        # in range. tail_stride is then in 128-row block units.
+        tail_shape = (1, hop_w, _TAIL_W_T)
+        tail_stride = blkf // _TAIL_W_T
         _ix = lambda b, r: (b, 0, r)  # noqa: E731
     else:
         main_shape = (1, blkf, row_w)
         tail_shape = (1, _TAIL_ROWS, row_w)
+        tail_stride = blkf // _TAIL_ROWS
         _ix = lambda b, r: (b, r, 0)  # noqa: E731
     if pipelined:
         grid = (bsz, nj + 1)
@@ -1227,9 +1252,10 @@ def fused_mfcc(
     # blkf scales the step count, pipeline overlaps VPU with MXU). Cached
     # jit wrappers upstream carry frontend_knobs() in their static keys so
     # this trace-time read cannot go stale (pallas/knobs.py).
-    from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
+    from modulation_mfcc_tpu.pallas.knobs import frontend_knobs, resolve_flat_t
 
-    blkf, pipeline, flat_t = frontend_knobs()
+    blkf, pipeline, flat_t_raw = frontend_knobs()
+    flat_t = resolve_flat_t(flat_t_raw, algorithm)
     mel, bmax = fused_mel_frontend(
         audio,
         sr=sr,

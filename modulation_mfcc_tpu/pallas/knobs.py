@@ -16,7 +16,7 @@ import os
 __all__ = ["frontend_knobs", "tracker_knobs"]
 
 
-def frontend_knobs() -> tuple[int, bool, bool]:
+def frontend_knobs() -> tuple[int, bool, str]:
     """(blkf, pipeline, flat_t) from MODMFCC_BLKF / MODMFCC_FRONTEND_PIPE /
     MODMFCC_FLAT_T.
 
@@ -28,13 +28,36 @@ def frontend_knobs() -> tuple[int, bool, bool]:
 
     flat_t selects the TRANSPOSED flat-path staging (audio relayouted to
     [B, hop, rows] — no 80→128 lane pad in HBM, in-kernel transpose during
-    VMEM staging; docs/DESIGN.md §8 round 5)."""
+    VMEM staging; docs/DESIGN.md §8 round 5). Values: 'auto' (default —
+    per-algorithm, resolved by :func:`resolve_flat_t` where the algorithm
+    is known), '1' (force on), '0' (force off)."""
     blkf = int(os.environ.get("MODMFCC_BLKF", "1024"))
     if blkf <= 0:
         raise ValueError(f"MODMFCC_BLKF must be a positive multiple of 16, got {blkf}")
     pipeline = os.environ.get("MODMFCC_FRONTEND_PIPE", "0") == "1"
-    flat_t = os.environ.get("MODMFCC_FLAT_T", "0") == "1"
+    flat_t = os.environ.get("MODMFCC_FLAT_T", "auto")
+    if flat_t not in ("auto", "0", "1"):
+        raise ValueError(
+            f"MODMFCC_FLAT_T must be 'auto', '0' or '1', got {flat_t!r}"
+        )
     return blkf, pipeline, flat_t
+
+
+# flat_t v5e A/B at bench scale (128×30 s, lax.map n_super=8, best/median
+# h/s, 2026-08-20): f32 41.3/40.8 → 46.8/46.5 (+13%, every trial
+# separated), x3 65.2/59.8 → 65.7/65.3 (median-robust win), i24 59.6/57.4
+# → 59.3/58.3 (wash; median +1.6%), bf16 112.9/111.7 → 110.1/107.2
+# (LOSES — bf16 staging already halves the lane-pad traffic), i16
+# 67.4/67.2 → 66.6/66.1 (loses). 'auto' turns flat_t on exactly for the
+# f32-staged algorithms.
+_FLAT_T_AUTO_ON = ("f32", "x3", "i24")
+
+
+def resolve_flat_t(flat_t: str, algorithm: str) -> bool:
+    """Resolve the MODMFCC_FLAT_T knob for a concrete kernel algorithm."""
+    if flat_t == "auto":
+        return algorithm in _FLAT_T_AUTO_ON
+    return flat_t == "1"
 
 
 def tracker_knobs() -> tuple[str, str, str]:

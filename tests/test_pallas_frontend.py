@@ -577,10 +577,14 @@ def test_flat_t_bit_identical(algorithm, pipeline):
     from modulation_mfcc_tpu.pallas.fused_frontend import fused_mel_frontend
 
     rng = np.random.default_rng(11)
-    pcm = rng.integers(-32768, 32768, (2, 9_000)).astype(np.int16)
+    pcm = rng.integers(-32768, 32768, (2, 21_000)).astype(np.int16)
     a = jnp.asarray(pcm.astype(np.float32) / 32768.0)
+    # blkf must be a 128-multiple under flat_t (the 128-wide tail windows
+    # step in blkf/128 block units — Mosaic's minor-axis rule); 21 000
+    # samples at hop 80 give nf=263 → nj=3 main blocks, so block-boundary
+    # tail assembly is exercised
     kw = dict(sr=16_000.0, n_fft=512, hop=80, win_length=400, n_mels=128,
-              fmin=100.0, fmax=8000.0, algorithm=algorithm, blkf=64,
+              fmin=100.0, fmax=8000.0, algorithm=algorithm, blkf=128,
               pipeline=pipeline)
     with pltpu.force_tpu_interpret_mode():
         mel_t, bmax_t = fused_mel_frontend(a, flat_t=True, **kw)
@@ -602,7 +606,17 @@ def test_flat_t_validation(pcm16):
 def test_flat_t_knob(monkeypatch):
     from modulation_mfcc_tpu.pallas.knobs import frontend_knobs
 
+    from modulation_mfcc_tpu.pallas.knobs import resolve_flat_t
+
     monkeypatch.setenv("MODMFCC_FLAT_T", "1")
-    assert frontend_knobs()[2] is True
+    assert frontend_knobs()[2] == "1"
+    assert resolve_flat_t(frontend_knobs()[2], "bf16") is True
     monkeypatch.delenv("MODMFCC_FLAT_T")
-    assert frontend_knobs()[2] is False
+    assert frontend_knobs()[2] == "auto"
+    # 'auto' = on exactly for the f32-staged algorithms (v5e A/B, §8 r5)
+    for alg, want in [("f32", True), ("x3", True), ("i24", True),
+                      ("bf16", False), ("i16", False)]:
+        assert resolve_flat_t("auto", alg) is want
+    monkeypatch.setenv("MODMFCC_FLAT_T", "bogus")
+    with pytest.raises(ValueError, match="MODMFCC_FLAT_T"):
+        frontend_knobs()
