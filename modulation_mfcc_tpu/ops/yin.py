@@ -331,6 +331,7 @@ def _transition_local(n_states: int, width: float) -> np.ndarray:
         "pad_mode",
         "viterbi_engine",
         "cmndf_engine",
+        "return_states",
     ),
 )
 def _pyin_f0_jit(
@@ -353,8 +354,12 @@ def _pyin_f0_jit(
     pad_mode: str = "constant",
     viterbi_engine: str = "auto",
     cmndf_engine: str = "auto",
+    return_states: bool = False,
 ) -> jnp.ndarray:
     """F0 track [NF] in Hz; 0 where decoded unvoiced (caller maps to NaN).
+    ``return_states=True`` additionally returns the decoded Viterbi state
+    path [NF] int32 (state = bin, or bin + n_bins when unvoiced — the
+    oracle's state convention) for path-score parity certificates.
 
     ``center``/``pad_mode`` follow librosa.pyin (reference passes
     pyincenter/pyinpad_mode through, script/calc.py:418-419): centered
@@ -708,7 +713,10 @@ def _pyin_f0_jit(
     voiced = path < n_bins
     bin_of = jnp.where(voiced, path, path - n_bins)
     f0 = fmin * 2.0 ** (bin_of.astype(cm.dtype) / (12.0 * nbps))
-    return jnp.where(voiced, f0, 0.0)
+    out = jnp.where(voiced, f0, 0.0)
+    if return_states:
+        return out, path.astype(jnp.int32)
+    return out
 
 
 _VITERBI_ENGINES = ("auto", "xla", "pallas", "pallas_full", "pallas_batched")

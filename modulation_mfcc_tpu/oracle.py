@@ -217,10 +217,27 @@ def pyin_np(
     no_trough_prob: float = 0.01,
     center: bool = True,
     pad_mode: str = "constant",
+    return_model: bool = False,
+    bin_shift: float = 0.0,
 ):
     """librosa.pyin oracle. Returns ``(f0, voiced_flag, states)`` with f0 in
     Hz for every frame (the decoded bin's frequency even when unvoiced,
     exactly as librosa returns before fill_na) and the Viterbi state path.
+
+    ``return_model=True`` appends the float64 decode model
+    ``(log_obs, log_trans, log_p_init)`` so callers can score an
+    ALTERNATIVE state path under the exact model this decode maximised
+    (:func:`viterbi_path_score_np`).
+
+    ``bin_shift`` perturbs the candidate pitch-bin ROUNDING boundary by
+    the given fraction of a bin (round(v + bin_shift) instead of
+    round(v)): the verify harness's near-tie certificate for device f32
+    single-bin flips — a candidate whose pre-round value sits within
+    ~1e-3 bins of the .5 boundary lands on either side depending on f32
+    arithmetic ulps (measured on v5e at 16 kHz: such flips carry the
+    WHOLE beta mass with them, so they are observation-level, not
+    Viterbi-tie, disagreements — the decode that results is librosa's own
+    under a measure-zero boundary perturbation).
     """
     if win_length is None:
         win_length = frame_length // 2
@@ -294,7 +311,8 @@ def pyin_np(
         periods = min_period + ti + shifts[f, ti]
         f0c = sr / periods
         bins = np.clip(
-            np.round(12.0 * nbps * np.log2(f0c / fmin)), 0, n_pitch_bins
+            np.round(12.0 * nbps * np.log2(f0c / fmin) + bin_shift),
+            0, n_pitch_bins,
         ).astype(int)
         row = np.zeros(2 * n_pitch_bins)
         row[bins] = probs  # fancy assignment: duplicate bins last-write-win
@@ -313,7 +331,8 @@ def pyin_np(
     p_init[n_pitch_bins:] = 1.0 / n_pitch_bins
     lt = np.log(trans + tiny)
     lo = np.log(obs + tiny)
-    value = lo[0] + np.log(p_init + tiny)
+    lp0 = np.log(p_init + tiny)
+    value = lo[0] + lp0
     ptrs = np.zeros((nf, 2 * n_pitch_bins), dtype=int)
     for t in range(1, nf):
         scores = value[:, None] + lt
@@ -326,7 +345,27 @@ def pyin_np(
     freqs = fmin * 2.0 ** (np.arange(n_pitch_bins) / (12.0 * nbps))
     f0 = freqs[states % n_pitch_bins]
     voiced = states < n_pitch_bins
+    if return_model:
+        return f0, voiced, states, (lo, lt, lp0)
     return f0, voiced, states
+
+
+def viterbi_path_score_np(states: np.ndarray, model: tuple) -> float:
+    """Float64 log-score of a given state path under a pyin decode model
+    (``pyin_np(..., return_model=True)``'s third extra return).
+
+    The oracle's own decoded path maximises this score by construction, so
+    ``score(oracle_path) - score(other_path) >= 0`` up to float64 rounding
+    — and for a device f32 decode that differs only at genuine numerical
+    ties the gap is bounded by the f32 resolution of the accumulated
+    deltas, while a real decode bug loses whole transition/observation
+    log-factors (orders of magnitude larger)."""
+    lo, lt, lp0 = model
+    states = np.asarray(states, dtype=int)
+    s = float(lp0[states[0]] + lo[0, states[0]])
+    for t in range(1, len(states)):
+        s += float(lt[states[t - 1], states[t]] + lo[t, states[t]])
+    return s
 
 
 # ---------------------------------------------------------------------------

@@ -136,7 +136,11 @@ def run_verify(args) -> int:
                                                      voiced p99 ≤ 0.2 Hz
       * pyin vs pyin_np                            — identical voicing,
                                                      ≥99% identical bins
-                                                     (any flip ≤ 1 bin),
+                                                     (any flip ≤ 1 bin,
+                                                     else flips must pass
+                                                     the float64 path-
+                                                     score near-tie
+                                                     certificate),
                                                      same-bin f0 ≤ 1e-5 rel
       * envelope rms vs inline float64 mirror      — max-abs ≤ 1e-4
       * envelope hilbert vs scipy.signal.hilbert   — max-abs ≤ 1e-3
@@ -178,7 +182,20 @@ def run_verify(args) -> int:
         y = y + 0.01 * rng.standard_normal(len(t))
     y = np.asarray(y, dtype=np.float64)
     yj = jnp.asarray(y, dtype=jnp.float32)
-    results = {}
+
+    class _SurfaceEmit(dict):
+        """Emit each surface's JSON line THE MOMENT it completes. A wedged
+        device RPC mid-harness (measured r5: a wav run hung 40 min with
+        zero output before the outer timeout) must not erase the surfaces
+        that already passed — same incremental-emission contract as
+        bench.py's artifact lines. Surface dicts are fully built before
+        assignment (no post-assignment mutation)."""
+
+        def __setitem__(self, key, val):
+            super().__setitem__(key, val)
+            print(json.dumps({"surface": key, **val}), flush=True)
+
+    results = _SurfaceEmit()
 
     got, _ = extract_mfcc_change(y, mcfg)
     want, _ = oracle.get_mfccs_change_np(y, float(sr), max_freq=mcfg.maxFreq)
@@ -298,15 +315,17 @@ def run_verify(args) -> int:
     # construction — an octave-class gross error cannot hide under this
     # cap; the p99 ≤ 0.2 Hz bar still holds the track to oracle precision
     # (measured 16 kHz: p99 0.035 Hz, one env=0 noise frame at 2.47 Hz).
-    results["minmax_quant"] = _track_vs_oracle(
-        np.asarray(got_q), want_q, min_agree=0.99, max_hz=5.0
-    )
+    mq = _track_vs_oracle(np.asarray(got_q), want_q, min_agree=0.99, max_hz=5.0)
     if quant_tie:
-        results["minmax_quant"]["quant_boundary_tie"] = True
+        mq["quant_boundary_tie"] = True
+    results["minmax_quant"] = mq
 
     hop_samples = int(round(0.01 * sr))
-    of0, ovoiced, _ = oracle.pyin_np(y, sr, hop_length=hop_samples)
-    jf0 = np.asarray(pyin_f0(yj.astype(jnp.float32), sr=float(sr)))
+    of0, ovoiced, ostates = oracle.pyin_np(y, sr, hop_length=hop_samples)
+    jf0, jstates = pyin_f0(
+        yj.astype(jnp.float32), sr=float(sr), return_states=True
+    )
+    jf0, jstates = np.asarray(jf0), np.asarray(jstates)
     # Bars (formants-style robust form, measured r4): identical voicing
     # pattern; ≥99% of voiced frames decode the IDENTICAL pitch bin with
     # any disagreement ≤ 1 bin; f0 of bin-identical frames ≤ 1e-5 rel
@@ -339,12 +358,44 @@ def run_verify(args) -> int:
         bin_agree, max_dbin, rel = 1.0, 0.0, 0.0  # all-unvoiced = parity
     else:
         bin_agree, max_dbin, rel = 0.0, float("inf"), float("inf")
-    results["pyin"] = {
+    # Near-tie certificate for sub-0.99 agreement (diagnosed on v5e at
+    # 16 kHz: 3/200 single-bin flips, IDENTICAL across both CMNDF engines
+    # and absent on CPU f32). Path-scoring under the float64 model showed
+    # each flip costs exactly |log(tiny)| — the device's bin has ZERO
+    # oracle observation mass, so these are not Viterbi ties: the winning
+    # trough's pre-round bin value 120·log2(f0c/75) sat within 9e-4..2.2e-3
+    # of the .5 rounding boundary (82.5021/81.5022/82.5009) and the device
+    # f32 evaluation rounds it to the other side, carrying the whole beta
+    # mass along. Certificate: re-decode the float64 oracle with the
+    # rounding boundary perturbed by ±3e-3 bins (oracle.pyin_np
+    # bin_shift — tolerance = measured boundary distance + margin, still
+    # 3 thousandths of a tenth of a semitone); every device-flipped frame
+    # must match one of the perturbed decodes. A real decode bug points at
+    # bins no boundary perturbation produces.
+    n_flips, n_cert = 0, 0
+    if voicing_ok and 0.0 < bin_agree < 0.99 and max_dbin <= 1.0:
+        flip_ix = np.flatnonzero(jstates != ostates)
+        n_flips = len(flip_ix)
+        cert = np.zeros(n_flips, dtype=bool)
+        for delta in (-3e-3, 3e-3):
+            s_sh = oracle.pyin_np(
+                y, sr, hop_length=hop_samples, bin_shift=delta
+            )[2]
+            cert |= s_sh[flip_ix] == jstates[flip_ix]
+        n_cert = int(cert.sum())
+        tie_ok = bool(cert.all())
+    else:
+        tie_ok = False
+    pyin_res = {
         "voicing_identical": voicing_ok, "bin_agreement": bin_agree,
         "max_bin_delta": max_dbin, "max_rel_same_bin": rel,
-        "pass": voicing_ok and bin_agree >= 0.99 and max_dbin <= 1.0
-        and rel <= 1e-5,
+        "pass": voicing_ok and (bin_agree >= 0.99 or tie_ok)
+        and max_dbin <= 1.0 and rel <= 1e-5,
     }
+    if n_flips:
+        pyin_res["bin_flips"] = n_flips
+        pyin_res["boundary_certified"] = n_cert
+    results["pyin"] = pyin_res
 
     # Envelope (RMS, the reference default method): float64 mirror of
     # rms_envelope's exact geometry — centered zero padding, frame starts
@@ -471,7 +522,6 @@ def run_verify(args) -> int:
     }
 
     ok = all(r["pass"] for r in results.values())
-    for name, r in results.items():
-        print(json.dumps({"surface": name, **r}))
+    # per-surface lines already streamed by _SurfaceEmit as they completed
     print(json.dumps({"overall_pass": ok}))
     return 0 if ok else 1

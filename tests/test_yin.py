@@ -505,3 +505,53 @@ def test_pyin_cmndf_engine_end_to_end_agreement():
     assert agree.mean() >= 0.98, agree.mean()
     dv = np.abs(np.where(agree & (fa > 0), fa - fb, 0.0))
     assert dv.max() <= 0.5, dv.max()
+
+
+def test_pyin_states_and_path_score_certificate():
+    """return_states exposes the decoded Viterbi path in the oracle's
+    state convention, and viterbi_path_score_np scores it: on CPU the
+    decode is state-identical to the oracle, so the path-score gap is
+    exactly 0 — and any OTHER path must score strictly worse (the
+    harness's near-tie certificate separates f32 ties from decode bugs)."""
+    from modulation_mfcc_tpu import oracle
+
+    sig, sr = _speechlike_sig()
+    hop = int(round(0.01 * sr))
+    of0, ov, ostates, model = oracle.pyin_np(
+        sig.astype(np.float64), sr, hop_length=hop, return_model=True
+    )
+    jf0, jstates = pyin_f0(
+        jnp.asarray(sig, dtype=jnp.float32), sr=float(sr), return_states=True
+    )
+    jstates = np.asarray(jstates)
+    np.testing.assert_array_equal(jstates, ostates)
+    # f0 from the states matches the plain return
+    np.testing.assert_array_equal(
+        np.asarray(jf0), np.asarray(pyin_f0(jnp.asarray(sig, jnp.float32), sr=float(sr)))
+    )
+    s_o = oracle.viterbi_path_score_np(ostates, model)
+    s_d = oracle.viterbi_path_score_np(jstates, model)
+    assert s_o == s_d
+    # a single-bin perturbation on one voiced frame loses a real margin
+    alt = ostates.copy()
+    vidx = np.flatnonzero(ov)[len(np.flatnonzero(ov)) // 2]
+    alt[vidx] = alt[vidx] + 1
+    assert s_o - oracle.viterbi_path_score_np(alt, model) > 0.0
+
+
+def test_pyin_oracle_bin_shift_invariant_off_boundary():
+    """The bin_shift certificate knob (oracle.pyin_np) is a measure-zero
+    boundary perturbation: on a signal whose winning troughs sit away from
+    .5 bin boundaries the decode is invariant under ±3e-3 — so a
+    certificate match is evidence about the boundary, not a loosened
+    oracle."""
+    from modulation_mfcc_tpu import oracle
+
+    sig, sr = _speechlike_sig()
+    hop = int(round(0.01 * sr))
+    base = oracle.pyin_np(sig.astype(np.float64), sr, hop_length=hop)[2]
+    for delta in (-3e-3, 3e-3):
+        shifted = oracle.pyin_np(
+            sig.astype(np.float64), sr, hop_length=hop, bin_shift=delta
+        )[2]
+        np.testing.assert_array_equal(shifted, base)
