@@ -30,7 +30,77 @@ def _setup_compilation_cache() -> None:
         pass
 
 
+def _harden_cache_writes() -> None:
+    """Make persistent-cache entry writes atomic (tmp file + os.replace).
+
+    jax's file-system cache (jax._src.lru_cache.LRUCache.put) publishes an
+    entry with a bare ``write_bytes`` and never overwrites an existing key
+    ("if cache_path.exists(): return"), so a process killed mid-write — a
+    driver timeout, a bench watchdog ``os._exit``, a ``timeout``-bounded
+    driving script — leaves a PERMANENTLY truncated entry. Deserializing
+    one segfaults CPython inside ``backend.deserialize_executable``
+    (measured 2026-08-21: the full test suite died at the same test twice;
+    wiping the cache dir cleared it). Publishing via ``os.replace`` makes a
+    torn write impossible; an orphaned ``*-tmp`` file from a kill during
+    the tmp write is invisible to cache gets and to the LRU eviction glob
+    (``*-cache``) — dead weight, never poison. Last-write-wins replace
+    also HEALS a pre-existing truncated entry whose read failed cleanly
+    (jax treats a raising read as a miss and recompiles; stock
+    first-write-wins would then refuse the good rewrite). A truncation
+    that segfaults deserialization still needs a manual cache wipe — but
+    this patch makes new ones impossible.
+
+    Best-effort: any jax-internals mismatch degrades to the stock
+    (non-atomic) behavior rather than failing.
+    """
+    try:
+        import tempfile
+
+        from jax._src import lru_cache as _lru
+
+        if getattr(_lru.LRUCache, "_modmfcc_atomic_put", False):
+            return
+        _orig_put = _lru.LRUCache.put
+
+        def _put(self, key: str, val: bytes) -> None:
+            # with eviction enabled the stock put's lock/atime/evict logic
+            # must run as one unit — keep it (and its non-atomicity) there;
+            # both this package and the test suite run with eviction off.
+            if getattr(self, "eviction_enabled", True):
+                _orig_put(self, key, val)
+                return
+            try:
+                path = self.path / f"{key}-cache"
+                fd, tmp = tempfile.mkstemp(
+                    dir=str(self.path), prefix=".put-", suffix="-tmp"
+                )
+                try:
+                    with _os.fdopen(fd, "wb") as fh:
+                        fh.write(val)
+                    # the original put's exists() check makes first-write-wins
+                    # the contract; replace keeps last-write-wins, which is
+                    # equally valid (entries for one key are identical) and
+                    # additionally HEALS any pre-existing truncated entry.
+                    _os.replace(tmp, str(path))
+                    tmp = None
+                finally:
+                    if tmp is not None:
+                        try:
+                            _os.unlink(tmp)
+                        except OSError:
+                            pass
+            except Exception:
+                _orig_put(self, key, val)
+
+        _put.__doc__ = _orig_put.__doc__
+        _lru.LRUCache.put = _put
+        _lru.LRUCache._modmfcc_atomic_put = True
+    except Exception:
+        pass
+
+
 _setup_compilation_cache()
+_harden_cache_writes()
 
 from modulation_mfcc_tpu.models.config import (
     AmplitudeConfig,

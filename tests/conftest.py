@@ -27,6 +27,29 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# vm.max_map_count: the full suite mmaps ~250-300 regions per JIT-compiled
+# CPU executable-heavy test; at the Linux default (65530) the process runs
+# out of map slots around test #255 and SEGFAULTS inside whatever XLA
+# C++ path next allocates executable memory (measured 2026-08-21: three
+# cold-cache runs died at the SAME test — twice in deserialize_executable,
+# once in serialize after a cache-read shim moved the allocation; a
+# 104-test subset alone peaked at ≥48.5k maps). Raise it best-effort (root
+# on this image; resets at boot, hence here and not a one-off sysctl).
+_MAPS_NEEDED = 262144
+try:
+    with open("/proc/sys/vm/max_map_count") as _fh:
+        _cur_maps = int(_fh.read().strip())
+    if _cur_maps < _MAPS_NEEDED:
+        with open("/proc/sys/vm/max_map_count", "w") as _fh:
+            _fh.write(str(_MAPS_NEEDED))
+except OSError:
+    import warnings
+
+    warnings.warn(
+        "could not raise vm.max_map_count; a full-suite run may segfault "
+        "near test #255 from mmap exhaustion (see tests/conftest.py)"
+    )
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
